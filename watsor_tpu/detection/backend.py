@@ -1,0 +1,99 @@
+"""Detector backends: the uniform protocol the pipeline drives.
+
+The reference defines a duck-typed backend protocol —
+``__init__(model_path, [device])``, ``device_name``, context manager,
+``detect(shape, image, detections) -> ms`` — with one implementation per
+runtime (/root/reference/watsor/detection/{edge_tpu,tensorrt_gpu,
+tensorflow_cpu,tensorflow_lite_cpu}.py). Here a backend consumes a whole
+BATCH of frames in one call (the TPU-native unit of work) and all four
+reference runtimes collapse into one JAX backend parameterized by the
+placement device: TPU chips replace EdgeTPU/GPU, the JAX CPU backend
+replaces TensorFlow/TFLite-CPU. Device *selection* maps to ``jax.devices()``
+instead of CORAL_VISIBLE_DEVICES/CUDA_VISIBLE_DEVICES env plumbing
+(/root/reference/watsor/detection/devices.py).
+"""
+
+import threading
+from time import perf_counter
+from typing import Optional, Tuple
+
+import numpy as np
+
+_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 31) // 32) * 32
+
+
+class DetectorBackend:
+    """Protocol: batched uint8 frames in, padded detection arrays out."""
+
+    device_name = 'unknown'
+    input_hw: Tuple[int, int] = (300, 300)
+
+    def detect_batch(self, images_u8: np.ndarray):
+        """images_u8: [B, H, W, 3] -> (boxes [B,N,4] normalized float32,
+        scores [B,N] float32, classes [B,N] int32 1-based, valid [B] int32,
+        device_ms float)."""
+        raise NotImplementedError
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class JaxDetectorBackend(DetectorBackend):
+    """All-JAX detection: one jitted fused step (device resize + normalize +
+    SSD forward + box decode + class-aware NMS) pinned to one device.
+
+    Batches are padded up to a small set of size buckets so every batch
+    shape hits the jit cache; the padded rows cost MXU cycles but no
+    recompilation (static shapes are an XLA requirement, SURVEY.md §7).
+    """
+
+    def __init__(self, detector, device=None, max_batch=32):
+        import jax
+
+        self._detector = detector
+        self._device = device if device is not None else jax.devices()[0]
+        self._max_batch = max_batch
+        self._lock = threading.Lock()
+        self.device_name = '{} {}'.format(self._device.platform.upper(),
+                                          getattr(self._device, 'id', 0))
+        cfg = detector.config
+        self.input_hw = (cfg.input_size, cfg.input_size)
+        self._params = jax.device_put(detector.params, self._device)
+
+    def warmup(self, hw: Optional[Tuple[int, int]] = None, batch: int = 1):
+        """Compile the step for one (batch, resolution) combination ahead of
+        time — the analog of the reference's offline TRT engine build
+        (/root/reference/watsor/main_for_gpu.py:17-26)."""
+        h, w = hw if hw is not None else self.input_hw
+        dummy = np.zeros((_bucket(batch), h, w, 3), np.uint8)
+        self.detect_batch(dummy)
+
+    def detect_batch(self, images_u8: np.ndarray):
+        import jax
+
+        n = images_u8.shape[0]
+        b = _bucket(min(n, self._max_batch))
+        if n < b:
+            pad = np.zeros((b - n,) + images_u8.shape[1:], np.uint8)
+            images_u8 = np.concatenate([images_u8, pad], axis=0)
+        with self._lock:
+            start = perf_counter()
+            x = jax.device_put(images_u8, self._device)
+            out = self._detector.detect_batch(self._params, x)
+            out = jax.block_until_ready(out)
+            device_ms = (perf_counter() - start) * 1000.0
+        boxes = np.asarray(out.boxes[:n], np.float32)
+        scores = np.asarray(out.scores[:n], np.float32)
+        classes = np.asarray(out.classes[:n], np.int32)
+        valid = np.asarray(out.valid[:n], np.int32)
+        return boxes, scores, classes, valid, device_ms

@@ -1,0 +1,143 @@
+"""The detection stage: a task that gathers frames from ALL cameras into one
+batched device step.
+
+Reference behavior being re-designed (not translated): the reference runs
+one ``ObjectDetector`` *process* per accelerator, each pulling single frames
+from a shared fairness-balanced queue and writing SSD detections into the
+frame header in shared memory (/root/reference/watsor/detection/
+detector.py:58-112). TPU-first, a detector is a *thread* that drains the
+shared queue into a padded batch — the BalancedQueue's per-camera quota of 1
+(/root/reference/watsor/stream/sync.py:144-166) then guarantees the batch
+holds at most one frame per camera, i.e. the fairness property becomes the
+batch-assembly rule. Detections are written back into the frame header
+in place (no separate result channel) and the latch is confirmed per frame,
+exactly as the reference's protocol requires.
+"""
+
+import threading
+from queue import Empty
+from typing import Dict
+
+import numpy as np
+
+from watsor_tpu.runtime.frames import DETECTION_DTYPE, MAX_DETECTIONS
+from watsor_tpu.runtime.meters import FramesPerSecond, InferenceTime
+from watsor_tpu.runtime.tasks import Task
+
+
+class ObjectDetector(Task):
+    """Pulls payloads from the shared balanced queue, assembles a uint8
+    staging batch at the model input resolution, runs the fused device step,
+    and scatters results into the frame headers."""
+
+    def __init__(self, name, frame_queue, frame_buffers: Dict[str, object],
+                 backend, stop_event=None, max_batch=32):
+        self.frame_buffers = frame_buffers
+        self.frame_queue = frame_queue
+        self._backend = backend
+        self._max_batch = max_batch
+        h, w = backend.input_hw
+        self._staging = np.zeros((max_batch, h, w, 3), np.uint8)
+        self.fps = FramesPerSecond()
+        self.inference_time = InferenceTime()
+        self._device_name_lock = threading.Lock()
+        super().__init__(name, stop_event)
+
+    @property
+    def device_name(self):
+        return self._backend.device_name
+
+    def _on_start(self):
+        # compile before the first real frame arrives (the reference builds
+        # its TRT engine offline for the same reason, main_for_gpu.py:17-26)
+        try:
+            self._backend.warmup(batch=1)
+        except Exception:
+            self._logger.exception('Detector warmup failed')
+
+    def _process(self):
+        try:
+            payload = self.frame_queue.get(timeout=1)
+        except Empty:
+            return
+        payloads = [payload]
+        while len(payloads) < self._max_batch:
+            try:
+                payloads.append(self.frame_queue.get_nowait())
+            except Empty:
+                break
+        self._detect(payloads)
+
+    def _stage(self, index, frame):
+        """Copy one frame into the staging batch, resizing on the host only
+        when the decode resolution differs from the detect resolution (the
+        decoder normally emits a detect-resolution plane, making this a
+        straight memcpy)."""
+        h, w = self._backend.input_hw
+        detect_plane = getattr(frame, 'detect_plane', None)
+        if detect_plane is not None and detect_plane.shape[:2] == (h, w):
+            self._staging[index] = detect_plane
+        elif frame.image.shape[:2] == (h, w):
+            self._staging[index] = frame.image
+        else:
+            import cv2
+            cv2.resize(frame.image, (w, h), dst=self._staging[index],
+                       interpolation=cv2.INTER_LINEAR)
+
+    def _detect(self, payloads):
+        frames = []
+        for p in payloads:
+            frame = self.frame_buffers[p.sender].frames[p.frame_index]
+            self._stage(len(frames), frame)
+            frames.append(frame)
+
+        try:
+            boxes, scores, classes, valid, device_ms = \
+                self._backend.detect_batch(self._staging[:len(frames)])
+        except Exception:
+            self._logger.exception('Detection step failed')
+            for frame in frames:
+                frame.latch.next()
+            return
+
+        per_frame_ms = device_ms / len(frames)
+        for i, frame in enumerate(frames):
+            n = min(int(valid[i]), MAX_DETECTIONS)
+            records = np.zeros(n, DETECTION_DTYPE)
+            if n:
+                fh, fw = frame.image.shape[:2]
+                px = boxes[i, :n] * np.array([fh, fw, fh, fw], np.float32)
+                records['label'] = classes[i, :n]
+                records['confidence'] = scores[i, :n]
+                records['bbox'] = px
+            frame.set_detections(records)
+            frame.latch.next()
+            self.fps(True)
+            self.inference_time(per_frame_ms)
+
+
+def create_object_detectors(frame_queue_group, frame_buffers, backend_factory,
+                            stop_event=None, max_batch=32):
+    """One detector task per visible accelerator, all draining the same
+    balanced queue — the load-balancing contract of the reference's factory
+    (/root/reference/watsor/detection/detector.py:12-55: one process per
+    EdgeTPU/GPU, CPU fallback, assert at least one device).
+
+    ``backend_factory(device) -> DetectorBackend``; devices come from
+    ``jax.devices()`` — TPU chips if present, CPU devices otherwise.
+    """
+    import jax
+
+    devices = [d for d in jax.devices() if d.platform == 'tpu']
+    if not devices:
+        devices = jax.devices('cpu')[:1]
+    assert len(devices) > 0, "No devices available for detection"
+
+    any_queue = next(iter(frame_queue_group.values()))
+    detectors = []
+    for i, device in enumerate(devices):
+        backend = backend_factory(device)
+        detectors.append(ObjectDetector(
+            'detector{}'.format(i + 1), any_queue, frame_buffers, backend,
+            stop_event=stop_event, max_batch=max_batch))
+    return detectors

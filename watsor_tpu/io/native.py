@@ -1,0 +1,216 @@
+"""ctypes bindings for the native video I/O runtime (libwatsor_io.so).
+
+Builds the shared library on first use (``make`` in watsor_tpu/native/)
+and exposes thin Python wrappers. Every heavy call (decode, encode, JPEG)
+runs with the GIL released — ctypes drops it around foreign calls — so the
+decoder tasks genuinely overlap with the detection dispatch thread.
+
+The native layer replaces the reference's per-camera ffmpeg subprocesses
+and pipes (/root/reference/watsor/stream/ffmpeg.py): decoded RGB24 lands
+directly in the frame arena, and a detect-resolution plane is produced in
+the same swscale pass.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, 'native')
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, 'libwatsor_io.so'))
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build():
+    try:
+        subprocess.run(['make', '-s'], cwd=os.path.abspath(_NATIVE_DIR),
+                       check=True, capture_output=True, timeout=300)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError) as e:
+        detail = getattr(e, 'stderr', b'') or b''
+        raise NativeUnavailable(
+            'native build failed: {}'.format(detail.decode(errors='replace')))
+
+
+def load():
+    """Load (building if needed) the native library; raises
+    NativeUnavailable when the toolchain or FFmpeg libs are missing."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            _build()
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            raise NativeUnavailable(str(e))
+
+        lib.wt_decoder_open.restype = ctypes.c_void_p
+        lib.wt_decoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int]
+        lib.wt_decoder_read.restype = ctypes.c_int
+        lib.wt_decoder_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.wt_decoder_close.argtypes = [ctypes.c_void_p]
+        lib.wt_decoder_src_width.restype = ctypes.c_int
+        lib.wt_decoder_src_width.argtypes = [ctypes.c_void_p]
+        lib.wt_decoder_src_height.restype = ctypes.c_int
+        lib.wt_decoder_src_height.argtypes = [ctypes.c_void_p]
+        lib.wt_decoder_fps.restype = ctypes.c_double
+        lib.wt_decoder_fps.argtypes = [ctypes.c_void_p]
+
+        lib.wt_encoder_open.restype = ctypes.c_void_p
+        lib.wt_encoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int]
+        lib.wt_encoder_write.restype = ctypes.c_int
+        lib.wt_encoder_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.wt_encoder_read_bytes.restype = ctypes.c_int
+        lib.wt_encoder_read_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.wt_encoder_close.restype = ctypes.c_int
+        lib.wt_encoder_close.argtypes = [ctypes.c_void_p]
+
+        lib.wt_jpeg_encode.restype = ctypes.c_int
+        lib.wt_jpeg_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.wt_version.restype = ctypes.c_char_p
+        _lib = lib
+        return _lib
+
+
+def available():
+    try:
+        load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+class Decoder:
+    """One video source: RTSP/HTTP/file -> RGB24 frames written directly
+    into caller-provided numpy buffers (arena slices)."""
+
+    def __init__(self, url, width, height, detect_hw=None, options=None,
+                 realtime=False):
+        lib = load()
+        errbuf = ctypes.create_string_buffer(512)
+        dh, dw = detect_hw if detect_hw else (0, 0)
+        self._lib = lib
+        self._handle = lib.wt_decoder_open(
+            url.encode(), width, height, dw, dh,
+            (options or '').encode(), 1 if realtime else 0, errbuf, 512)
+        if not self._handle:
+            raise IOError('decoder open failed for {}: {}'.format(
+                url, errbuf.value.decode(errors='replace')))
+
+    @property
+    def source_size(self):
+        return (self._lib.wt_decoder_src_width(self._handle),
+                self._lib.wt_decoder_src_height(self._handle))
+
+    @property
+    def fps(self):
+        return self._lib.wt_decoder_fps(self._handle)
+
+    def read_into(self, full_rgb: np.ndarray, detect_rgb=None):
+        """Decode the next frame into the given buffers. Returns the frame
+        pts in seconds, or None at EOF. Raises IOError on decode errors."""
+        assert full_rgb.flags['C_CONTIGUOUS'] and full_rgb.dtype == np.uint8
+        pts = ctypes.c_double()
+        detect_ptr = None
+        if detect_rgb is not None:
+            assert detect_rgb.flags['C_CONTIGUOUS'] and \
+                detect_rgb.dtype == np.uint8
+            detect_ptr = detect_rgb.ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.wt_decoder_read(
+            self._handle, full_rgb.ctypes.data_as(ctypes.c_void_p),
+            detect_ptr, ctypes.byref(pts))
+        if rc == 0:
+            return pts.value
+        if rc == 1:
+            return None
+        raise IOError('decode error {}'.format(rc))
+
+    def close(self):
+        if self._handle:
+            self._lib.wt_decoder_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class Encoder:
+    """Record to a file (mp4/mkv by extension) or produce an in-memory
+    MPEG-TS byte stream (dest='mem:', format='mpegts') for HTTP broadcast."""
+
+    def __init__(self, dest, width, height, fps=30.0, fmt=None, codec=None,
+                 bit_rate=0):
+        lib = load()
+        errbuf = ctypes.create_string_buffer(512)
+        self._lib = lib
+        self._handle = lib.wt_encoder_open(
+            dest.encode(), (fmt or '').encode(), (codec or '').encode(),
+            width, height, fps, bit_rate, errbuf, 512)
+        if not self._handle:
+            raise IOError('encoder open failed for {}: {}'.format(
+                dest, errbuf.value.decode(errors='replace')))
+
+    def write(self, rgb: np.ndarray):
+        assert rgb.flags['C_CONTIGUOUS'] and rgb.dtype == np.uint8
+        rc = self._lib.wt_encoder_write(
+            self._handle, rgb.ctypes.data_as(ctypes.c_void_p))
+        if rc < 0:
+            raise IOError('encode error {}'.format(rc))
+
+    def read_bytes(self, cap=65536):
+        """Drain produced bytes (mem: sink). Returns b'' when nothing new."""
+        buf = ctypes.create_string_buffer(cap)
+        n = self._lib.wt_encoder_read_bytes(self._handle, buf, cap)
+        return buf.raw[:n] if n > 0 else b''
+
+    def close(self):
+        if self._handle:
+            self._lib.wt_encoder_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def jpeg_encode(rgb: np.ndarray, quality=80) -> bytes:
+    """RGB24 numpy image -> JPEG bytes via the native MJPEG encoder."""
+    lib = load()
+    h, w = rgb.shape[:2]
+    if not rgb.flags['C_CONTIGUOUS']:
+        rgb = np.ascontiguousarray(rgb)
+    cap = w * h * 3 + 65536
+    out = ctypes.create_string_buffer(cap)
+    n = lib.wt_jpeg_encode(rgb.ctypes.data_as(ctypes.c_void_p), w, h,
+                           quality, out, cap)
+    if n < 0:
+        raise IOError('jpeg encode error {}'.format(n))
+    return out.raw[:n]

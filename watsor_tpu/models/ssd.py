@@ -1,0 +1,144 @@
+"""SSD meta-architecture (Flax): feature pyramid + conv heads + the fused
+post-processing (box decode → class-aware NMS) that the reference gets from
+its frozen graphs / TensorRT NMS plugin
+(/root/reference/watsor/detection/tensorrt_gpu.py:184-188).
+
+The public contract matches the reference's detector backends bit-for-bit:
+``detect_batch`` returns boxes (normalized, clamped to [0,1]), scores, and
+1-based class labels (the reference's ``label = class + 1`` offset,
+edge_tpu.py:49, tensorflow_lite_cpu.py:44), padded to a static
+``max_detections`` with a valid-count — static shapes all the way so the
+whole step is one XLA program on the MXU.
+"""
+
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from watsor_tpu.models.mobilenet_v2 import MobileNetV2Backbone, ConvBNRelu6
+from watsor_tpu.ops.anchors import AnchorSpec, anchors_per_location, \
+    ssd300_feature_shapes, ssd_anchors
+from watsor_tpu.ops.boxes import decode_boxes
+from watsor_tpu.ops.nms import batched_class_aware_nms
+from watsor_tpu.ops.preprocess import resize_bilinear_mxu
+
+
+class SSDConfig(NamedTuple):
+    num_classes: int = 90          # foreground classes (COCO)
+    input_size: int = 300
+    width_multiplier: float = 1.0
+    extra_features: Tuple[int, ...] = (512, 256, 256, 128)
+    anchor_spec: AnchorSpec = AnchorSpec()
+    iou_threshold: float = 0.6
+    score_threshold: float = 0.005
+    max_detections: int = 100
+    dtype: Any = jnp.bfloat16
+
+
+class SSD(nn.Module):
+    """Feature extractor + box/class conv heads.
+
+    ``__call__`` returns raw predictions:
+      box_encodings  [B, A, 4]
+      class_logits   [B, A, num_classes + 1]  (index 0 = background)
+    """
+
+    config: SSDConfig = SSDConfig()
+
+    @nn.compact
+    def __call__(self, images, train=False):
+        cfg = self.config
+        c4, c5 = MobileNetV2Backbone(cfg.width_multiplier, dtype=cfg.dtype,
+                                     name='backbone')(images, train)
+        features = [c4, c5]
+        x = c5
+        for i, ch in enumerate(cfg.extra_features):
+            x = ConvBNRelu6(ch // 2, (1, 1), dtype=cfg.dtype,
+                            name=f'extra{i}_pw')(x, train)
+            x = ConvBNRelu6(ch, (3, 3), strides=2, dtype=cfg.dtype,
+                            name=f'extra{i}')(x, train)
+            features.append(x)
+
+        npl = anchors_per_location(cfg.anchor_spec)
+        assert len(features) == len(npl)
+        box_out, cls_out = [], []
+        num_cls = cfg.num_classes + 1
+        for i, (feat, n) in enumerate(zip(features, npl)):
+            b = nn.Conv(n * 4, (3, 3), padding='SAME', dtype=cfg.dtype,
+                        name=f'box_head{i}')(feat)
+            c = nn.Conv(n * num_cls, (3, 3), padding='SAME', dtype=cfg.dtype,
+                        name=f'cls_head{i}')(feat)
+            B = feat.shape[0]
+            box_out.append(b.reshape(B, -1, 4))
+            cls_out.append(c.reshape(B, -1, num_cls))
+        return (jnp.concatenate(box_out, axis=1).astype(jnp.float32),
+                jnp.concatenate(cls_out, axis=1).astype(jnp.float32))
+
+
+def feature_map_shapes(cfg: SSDConfig):
+    return ssd300_feature_shapes(cfg.input_size)
+
+
+def anchors_for(cfg: SSDConfig) -> np.ndarray:
+    return ssd_anchors(feature_map_shapes(cfg), cfg.anchor_spec)
+
+
+class Detector(NamedTuple):
+    """A built detector: params + the jitted batched detection step."""
+
+    model: SSD
+    config: SSDConfig
+    params: Any
+    anchors: np.ndarray
+    detect_batch: Any          # (images_u8 [B,H,W,3]) -> DetectionsBatch
+    raw_apply: Any             # (params, images_f [B,S,S,3]) -> (boxes, logits)
+
+
+class DetectionsBatch(NamedTuple):
+    boxes: jnp.ndarray         # [B, N, 4] normalized ymin/xmin/ymax/xmax
+    scores: jnp.ndarray        # [B, N]
+    classes: jnp.ndarray       # [B, N] int32 1-based labels, 0 = padding
+    valid: jnp.ndarray         # [B] int32
+
+
+def build_detector(config: SSDConfig = SSDConfig(), rng=None,
+                   params=None) -> Detector:
+    """Construct the model, initialize (or adopt) params, and jit the fused
+    uint8-in → detections-out step.
+
+    The step accepts frames at ANY fixed resolution: resize to the model
+    input runs on device as MXU contractions (ops/preprocess.py), fused with
+    normalization and the first conv — the host never touches pixels.
+    """
+    cfg = config
+    model = SSD(cfg)
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), cfg.dtype)
+        variables = model.init(rng, dummy, train=False)
+        params = variables
+    anchors = anchors_for(cfg)
+    anchors_dev = jnp.asarray(anchors)
+
+    def raw_apply(p, images_f):
+        return model.apply(p, images_f, train=False)
+
+    @jax.jit
+    def detect_batch(p, images_u8):
+        x = resize_bilinear_mxu(images_u8, cfg.input_size, cfg.input_size,
+                                dtype=jnp.float32)
+        x = (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
+        box_enc, logits = model.apply(p, x, train=False)
+        boxes = decode_boxes(box_enc, anchors_dev)
+        scores = jax.nn.sigmoid(logits[..., 1:])     # drop background
+        b, s, c, v = batched_class_aware_nms(
+            boxes, scores,
+            iou_threshold=cfg.iou_threshold,
+            score_threshold=cfg.score_threshold,
+            max_detections=cfg.max_detections)
+        return DetectionsBatch(b, s, c, v)
+
+    return Detector(model, cfg, params, anchors, detect_batch, raw_apply)

@@ -1,0 +1,469 @@
+// watsor-tpu native video I/O runtime.
+//
+// The reference shells out to the ffmpeg CLI per camera and pipes raw RGB24
+// over stdout/stdin (/root/reference/watsor/stream/ffmpeg.py) — one
+// subprocess + pipe copy per stream. Here the demux/decode/scale loop runs
+// in-process against the FFmpeg libraries and writes decoded pixels
+// DIRECTLY into the Python-owned frame arena (the pointer passed to
+// wt_decoder_read is a numpy slice of the shared ring), eliminating the
+// subprocess, the pipe, and the extra copy. The decoder also emits a
+// second, detect-resolution plane in the same pass (swscale), so the host
+// never resizes again and the TPU batch ships as-is.
+//
+// C ABI for ctypes; every handle is used from a single Python thread (the
+// decoder/encoder task), which ctypes calls with the GIL released.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libavutil/time.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <vector>
+
+namespace {
+
+void set_err(char* errbuf, int errbuf_len, const std::string& msg) {
+    if (errbuf && errbuf_len > 0) {
+        std::snprintf(errbuf, errbuf_len, "%s", msg.c_str());
+    }
+}
+
+std::string av_errstr(int err) {
+    char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+    av_strerror(err, buf, sizeof(buf));
+    return std::string(buf);
+}
+
+// "key=value,key=value" -> AVDictionary
+AVDictionary* parse_options(const char* options) {
+    AVDictionary* dict = nullptr;
+    if (options && *options) {
+        av_dict_parse_string(&dict, options, "=", ",", 0);
+    }
+    return dict;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Decoder
+// ---------------------------------------------------------------------------
+
+struct WtDecoder {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* codec = nullptr;
+    SwsContext* sws_full = nullptr;
+    SwsContext* sws_detect = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    int stream_index = -1;
+    int out_w = 0, out_h = 0;
+    int detect_w = 0, detect_h = 0;
+    bool draining = false;
+    bool realtime = false;       // pace file playback by pts (ffmpeg -re)
+    int64_t start_wall_us = -1;  // wall clock at first frame
+    double first_pts = -1.0;
+};
+
+extern "C" WtDecoder* wt_decoder_open(const char* url, int out_w, int out_h,
+                                      int detect_w, int detect_h,
+                                      const char* options, int realtime,
+                                      char* errbuf, int errbuf_len) {
+    avformat_network_init();
+    WtDecoder* d = new WtDecoder();
+    d->out_w = out_w;
+    d->out_h = out_h;
+    d->detect_w = detect_w;
+    d->detect_h = detect_h;
+    d->realtime = realtime != 0;
+
+    AVDictionary* dict = parse_options(options);
+    int err = avformat_open_input(&d->fmt, url, nullptr, &dict);
+    av_dict_free(&dict);
+    if (err < 0) {
+        set_err(errbuf, errbuf_len, "open_input: " + av_errstr(err));
+        delete d;
+        return nullptr;
+    }
+    if ((err = avformat_find_stream_info(d->fmt, nullptr)) < 0) {
+        set_err(errbuf, errbuf_len, "find_stream_info: " + av_errstr(err));
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    const AVCodec* decoder = nullptr;
+    d->stream_index = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                          &decoder, 0);
+    if (d->stream_index < 0 || !decoder) {
+        set_err(errbuf, errbuf_len, "no video stream");
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    AVStream* stream = d->fmt->streams[d->stream_index];
+    d->codec = avcodec_alloc_context3(decoder);
+    avcodec_parameters_to_context(d->codec, stream->codecpar);
+    d->codec->thread_count = 0;  // auto
+    if ((err = avcodec_open2(d->codec, decoder, nullptr)) < 0) {
+        set_err(errbuf, errbuf_len, "codec open: " + av_errstr(err));
+        avcodec_free_context(&d->codec);
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    return d;
+}
+
+extern "C" int wt_decoder_src_width(WtDecoder* d) { return d->codec->width; }
+extern "C" int wt_decoder_src_height(WtDecoder* d) { return d->codec->height; }
+
+extern "C" double wt_decoder_fps(WtDecoder* d) {
+    AVStream* stream = d->fmt->streams[d->stream_index];
+    AVRational r = stream->avg_frame_rate;
+    if (r.num == 0 || r.den == 0) r = stream->r_frame_rate;
+    return (r.num && r.den) ? av_q2d(r) : 0.0;
+}
+
+static void wt_scale_out(WtDecoder* d, uint8_t* full_rgb, uint8_t* detect_rgb) {
+    if (full_rgb && d->out_w > 0) {
+        d->sws_full = sws_getCachedContext(
+            d->sws_full, d->frame->width, d->frame->height,
+            (AVPixelFormat)d->frame->format, d->out_w, d->out_h,
+            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+        uint8_t* dst[4] = {full_rgb, nullptr, nullptr, nullptr};
+        int dst_stride[4] = {d->out_w * 3, 0, 0, 0};
+        sws_scale(d->sws_full, d->frame->data, d->frame->linesize, 0,
+                  d->frame->height, dst, dst_stride);
+    }
+    if (detect_rgb && d->detect_w > 0) {
+        d->sws_detect = sws_getCachedContext(
+            d->sws_detect, d->frame->width, d->frame->height,
+            (AVPixelFormat)d->frame->format, d->detect_w, d->detect_h,
+            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+        uint8_t* dst[4] = {detect_rgb, nullptr, nullptr, nullptr};
+        int dst_stride[4] = {d->detect_w * 3, 0, 0, 0};
+        sws_scale(d->sws_detect, d->frame->data, d->frame->linesize, 0,
+                  d->frame->height, dst, dst_stride);
+    }
+}
+
+// Returns 0 on frame produced, 1 on EOF, negative AVERROR on failure.
+extern "C" int wt_decoder_read(WtDecoder* d, uint8_t* full_rgb,
+                               uint8_t* detect_rgb, double* pts_seconds) {
+    AVStream* stream = d->fmt->streams[d->stream_index];
+    while (true) {
+        int err = avcodec_receive_frame(d->codec, d->frame);
+        if (err == 0) {
+            double pts = 0.0;
+            if (d->frame->best_effort_timestamp != AV_NOPTS_VALUE) {
+                pts = d->frame->best_effort_timestamp * av_q2d(stream->time_base);
+            }
+            if (d->realtime) {
+                // pace playback to presentation time (the analog of -re)
+                if (d->start_wall_us < 0) {
+                    d->start_wall_us = av_gettime_relative();
+                    d->first_pts = pts;
+                } else {
+                    int64_t target = d->start_wall_us +
+                        (int64_t)((pts - d->first_pts) * 1e6);
+                    int64_t now = av_gettime_relative();
+                    if (target > now && target - now < 10 * 1000 * 1000) {
+                        av_usleep((unsigned)(target - now));
+                    }
+                }
+            }
+            wt_scale_out(d, full_rgb, detect_rgb);
+            if (pts_seconds) *pts_seconds = pts;
+            av_frame_unref(d->frame);
+            return 0;
+        }
+        if (err == AVERROR_EOF) return 1;
+        if (err != AVERROR(EAGAIN)) return err;
+        if (d->draining) continue;
+
+        // feed more input
+        err = av_read_frame(d->fmt, d->pkt);
+        if (err == AVERROR_EOF) {
+            d->draining = true;
+            avcodec_send_packet(d->codec, nullptr);
+            continue;
+        }
+        if (err < 0) return err;
+        if (d->pkt->stream_index == d->stream_index) {
+            err = avcodec_send_packet(d->codec, d->pkt);
+            if (err < 0 && err != AVERROR(EAGAIN)) {
+                av_packet_unref(d->pkt);
+                return err;
+            }
+        }
+        av_packet_unref(d->pkt);
+    }
+}
+
+extern "C" void wt_decoder_close(WtDecoder* d) {
+    if (!d) return;
+    if (d->sws_full) sws_freeContext(d->sws_full);
+    if (d->sws_detect) sws_freeContext(d->sws_detect);
+    av_frame_free(&d->frame);
+    av_packet_free(&d->pkt);
+    avcodec_free_context(&d->codec);
+    avformat_close_input(&d->fmt);
+    delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Encoder (file recording or in-memory MPEG-TS broadcast)
+// ---------------------------------------------------------------------------
+
+struct WtEncoder {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* codec = nullptr;
+    AVStream* stream = nullptr;
+    SwsContext* sws = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+    int w = 0, h = 0;
+    int64_t next_pts = 0;
+    bool header_written = false;
+    // in-memory sink for MPEG-TS broadcast (dest == "mem:")
+    bool mem_sink = false;
+    std::mutex mem_mutex;
+    std::vector<uint8_t> mem_buf;
+    AVIOContext* avio = nullptr;
+    uint8_t* avio_buf = nullptr;
+};
+
+static int wt_mem_write(void* opaque, uint8_t* buf, int buf_size) {
+    WtEncoder* e = static_cast<WtEncoder*>(opaque);
+    std::lock_guard<std::mutex> lock(e->mem_mutex);
+    e->mem_buf.insert(e->mem_buf.end(), buf, buf + buf_size);
+    // bound the buffer: drop oldest data if nobody is reading (~8 MB cap)
+    const size_t cap = 8 * 1024 * 1024;
+    if (e->mem_buf.size() > cap) {
+        e->mem_buf.erase(e->mem_buf.begin(),
+                         e->mem_buf.begin() + (e->mem_buf.size() - cap));
+    }
+    return buf_size;
+}
+
+extern "C" WtEncoder* wt_encoder_open(const char* dest, const char* format,
+                                      const char* codec_name, int w, int h,
+                                      double fps, int64_t bit_rate,
+                                      char* errbuf, int errbuf_len) {
+    WtEncoder* e = new WtEncoder();
+    e->w = w;
+    e->h = h;
+    e->mem_sink = dest && std::strncmp(dest, "mem:", 4) == 0;
+
+    int err = avformat_alloc_output_context2(
+        &e->fmt, nullptr, format && *format ? format : nullptr,
+        e->mem_sink ? nullptr : dest);
+    if (err < 0 || !e->fmt) {
+        set_err(errbuf, errbuf_len, "alloc_output: " + av_errstr(err));
+        delete e;
+        return nullptr;
+    }
+
+    const AVCodec* codec = nullptr;
+    if (codec_name && *codec_name) codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) codec = avcodec_find_encoder_by_name("libx264");
+    if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_MPEG2VIDEO);
+    if (!codec) {
+        set_err(errbuf, errbuf_len, "no H.264/MPEG2 encoder available");
+        avformat_free_context(e->fmt);
+        delete e;
+        return nullptr;
+    }
+
+    e->codec = avcodec_alloc_context3(codec);
+    e->codec->width = w;
+    e->codec->height = h;
+    e->codec->pix_fmt = AV_PIX_FMT_YUV420P;
+    AVRational fr = av_d2q(fps > 0 ? fps : 30.0, 1000000);
+    e->codec->time_base = av_inv_q(fr);
+    e->codec->framerate = fr;
+    e->codec->bit_rate = bit_rate > 0 ? bit_rate : 2000000;
+    e->codec->gop_size = (int)(fps > 0 ? fps : 30);  // ~1s keyframe interval
+    e->codec->max_b_frames = 0;                      // latency-first
+    if (codec->id == AV_CODEC_ID_H264) {
+        av_opt_set(e->codec->priv_data, "preset", "veryfast", 0);
+        av_opt_set(e->codec->priv_data, "tune", "zerolatency", 0);
+    }
+    if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER) {
+        e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    }
+    if ((err = avcodec_open2(e->codec, codec, nullptr)) < 0) {
+        set_err(errbuf, errbuf_len, "codec open: " + av_errstr(err));
+        avcodec_free_context(&e->codec);
+        avformat_free_context(e->fmt);
+        delete e;
+        return nullptr;
+    }
+
+    e->stream = avformat_new_stream(e->fmt, nullptr);
+    avcodec_parameters_from_context(e->stream->codecpar, e->codec);
+    e->stream->time_base = e->codec->time_base;
+
+    if (e->mem_sink) {
+        const int io_buf_size = 32768;
+        e->avio_buf = (uint8_t*)av_malloc(io_buf_size);
+        e->avio = avio_alloc_context(e->avio_buf, io_buf_size, 1, e, nullptr,
+                                     wt_mem_write, nullptr);
+        e->fmt->pb = e->avio;
+        e->fmt->flags |= AVFMT_FLAG_CUSTOM_IO;
+    } else if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) {
+        if ((err = avio_open(&e->fmt->pb, dest, AVIO_FLAG_WRITE)) < 0) {
+            set_err(errbuf, errbuf_len, "avio_open: " + av_errstr(err));
+            avcodec_free_context(&e->codec);
+            avformat_free_context(e->fmt);
+            delete e;
+            return nullptr;
+        }
+    }
+
+    if ((err = avformat_write_header(e->fmt, nullptr)) < 0) {
+        set_err(errbuf, errbuf_len, "write_header: " + av_errstr(err));
+        avcodec_free_context(&e->codec);
+        avformat_free_context(e->fmt);
+        delete e;
+        return nullptr;
+    }
+    e->header_written = true;
+    e->frame = av_frame_alloc();
+    e->frame->format = AV_PIX_FMT_YUV420P;
+    e->frame->width = w;
+    e->frame->height = h;
+    av_frame_get_buffer(e->frame, 0);
+    e->pkt = av_packet_alloc();
+    return e;
+}
+
+static int wt_encoder_drain(WtEncoder* e) {
+    while (true) {
+        int err = avcodec_receive_packet(e->codec, e->pkt);
+        if (err == AVERROR(EAGAIN) || err == AVERROR_EOF) return 0;
+        if (err < 0) return err;
+        // one frame per tick of the codec time base; without an explicit
+        // duration the mp4 demuxer drops the final sample on playback
+        e->pkt->duration = 1;
+        av_packet_rescale_ts(e->pkt, e->codec->time_base, e->stream->time_base);
+        e->pkt->stream_index = e->stream->index;
+        err = av_interleaved_write_frame(e->fmt, e->pkt);
+        if (err < 0) return err;
+    }
+}
+
+extern "C" int wt_encoder_write(WtEncoder* e, const uint8_t* rgb) {
+    e->sws = sws_getCachedContext(e->sws, e->w, e->h, AV_PIX_FMT_RGB24,
+                                  e->w, e->h, AV_PIX_FMT_YUV420P,
+                                  SWS_BILINEAR, nullptr, nullptr, nullptr);
+    av_frame_make_writable(e->frame);
+    const uint8_t* src[4] = {rgb, nullptr, nullptr, nullptr};
+    int src_stride[4] = {e->w * 3, 0, 0, 0};
+    sws_scale(e->sws, src, src_stride, 0, e->h, e->frame->data,
+              e->frame->linesize);
+    e->frame->pts = e->next_pts++;
+    int err = avcodec_send_frame(e->codec, e->frame);
+    if (err < 0) return err;
+    return wt_encoder_drain(e);
+}
+
+// Drain produced bytes (mem: sink only). Returns bytes copied.
+extern "C" int wt_encoder_read_bytes(WtEncoder* e, uint8_t* buf, int cap) {
+    std::lock_guard<std::mutex> lock(e->mem_mutex);
+    int n = (int)std::min((size_t)cap, e->mem_buf.size());
+    if (n > 0) {
+        std::memcpy(buf, e->mem_buf.data(), n);
+        e->mem_buf.erase(e->mem_buf.begin(), e->mem_buf.begin() + n);
+    }
+    return n;
+}
+
+extern "C" int wt_encoder_close(WtEncoder* e) {
+    if (!e) return 0;
+    int err = 0;
+    if (e->header_written) {
+        avcodec_send_frame(e->codec, nullptr);  // flush
+        wt_encoder_drain(e);
+        err = av_write_trailer(e->fmt);
+    }
+    if (e->sws) sws_freeContext(e->sws);
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    avcodec_free_context(&e->codec);
+    if (e->mem_sink) {
+        if (e->avio) {
+            av_freep(&e->avio->buffer);
+            avio_context_free(&e->avio);
+        }
+    } else if (e->fmt->pb && !(e->fmt->oformat->flags & AVFMT_NOFILE)) {
+        avio_closep(&e->fmt->pb);
+    }
+    avformat_free_context(e->fmt);
+    delete e;
+    return err;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG encode (MJPEG codec): RGB24 -> JPEG bytes, for MJPEG HTTP streaming
+// and snapshots. Returns byte count, or negative on error.
+// ---------------------------------------------------------------------------
+
+extern "C" int wt_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
+                              uint8_t* out, int out_cap) {
+    const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
+    if (!codec) return -1;
+    AVCodecContext* ctx = avcodec_alloc_context3(codec);
+    ctx->width = w;
+    ctx->height = h;
+    ctx->pix_fmt = AV_PIX_FMT_YUVJ420P;
+    ctx->time_base = {1, 30};
+    ctx->flags |= AV_CODEC_FLAG_QSCALE;
+    // map quality 1-100 to qscale 2-31 (lower = better)
+    int q = 31 - (quality * 29) / 100;
+    if (q < 2) q = 2;
+    ctx->global_quality = FF_QP2LAMBDA * q;
+    int err = avcodec_open2(ctx, codec, nullptr);
+    if (err < 0) { avcodec_free_context(&ctx); return err; }
+
+    AVFrame* frame = av_frame_alloc();
+    frame->format = ctx->pix_fmt;
+    frame->width = w;
+    frame->height = h;
+    av_frame_get_buffer(frame, 0);
+    SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                                     ctx->pix_fmt, SWS_BILINEAR,
+                                     nullptr, nullptr, nullptr);
+    const uint8_t* src[4] = {rgb, nullptr, nullptr, nullptr};
+    int src_stride[4] = {w * 3, 0, 0, 0};
+    sws_scale(sws, src, src_stride, 0, h, frame->data, frame->linesize);
+    sws_freeContext(sws);
+    frame->quality = ctx->global_quality;
+    frame->pts = 0;
+
+    AVPacket* pkt = av_packet_alloc();
+    int n = -1;
+    if (avcodec_send_frame(ctx, frame) >= 0 &&
+        avcodec_receive_packet(ctx, pkt) >= 0) {
+        n = pkt->size <= out_cap ? pkt->size : -2;
+        if (n > 0) std::memcpy(out, pkt->data, pkt->size);
+    }
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    avcodec_free_context(&ctx);
+    return n;
+}
+
+extern "C" const char* wt_version() {
+    return "watsor-tpu-native 0.1 (" LIBAVFORMAT_IDENT ")";
+}

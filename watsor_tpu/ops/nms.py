@@ -1,0 +1,124 @@
+"""Fixed-shape, batched, class-aware non-maximum suppression.
+
+The reference receives NMS for free inside its frozen TF graph / TensorRT
+``NMS`` plugin (output layout documented at
+/root/reference/watsor/detection/tensorrt_gpu.py:184-188: per-image
+[num, boxes, scores, classes]). On TPU we own it, and it must compile to a
+static-shape XLA program: no data-dependent shapes, no host synchronization.
+
+Design:
+  1. per class, keep the top ``k`` candidates by score (``lax.top_k``);
+  2. greedy suppression over the sorted candidates expressed as a
+     ``fori_loop`` of k steps over a [*, k] keep-mask — each step is a pure
+     vector op batched over (batch × class), so the VPU sees large tiles and
+     the MXU-free loop costs microseconds;
+  3. merge all classes and keep the global top ``max_detections``.
+
+A fully-parallel "fast" mode (Bonneel/Yolact-style: keep i unless a
+higher-scored j overlaps it) removes the loop entirely at the cost of
+slightly more aggressive suppression.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from watsor_tpu.ops.boxes import iou_matrix
+
+
+def _per_class_topk(scores, k):
+    """scores [B, A, C] -> (top scores [B, C, k], indices [B, C, k])."""
+    scores_cf = jnp.transpose(scores, (0, 2, 1))  # [B, C, A]
+    return jax.lax.top_k(scores_cf, k)
+
+
+def _greedy_keep(iou, iou_threshold, k):
+    """iou: [..., k, k] of score-sorted boxes -> keep mask [..., k] (bool).
+
+    Exact greedy NMS: walk candidates in score order; candidate i survives
+    unless a surviving higher-scored candidate overlaps it beyond the
+    threshold. The loop is over k only; all batch dims ride inside each step.
+    """
+    col = jnp.arange(k)
+
+    def body(i, keep):
+        # suppress every later box that overlaps box i, if box i survived
+        iou_i = jax.lax.dynamic_index_in_dim(iou, i, axis=-2, keepdims=False)
+        keep_i = jax.lax.dynamic_index_in_dim(keep, i, axis=-1, keepdims=True)
+        overlaps = iou_i > iou_threshold                    # [..., k]
+        later = col > i                                     # [k]
+        suppress = overlaps & later & keep_i
+        return keep & ~suppress
+
+    keep0 = jnp.ones(iou.shape[:-1], dtype=bool)
+    return jax.lax.fori_loop(0, k, body, keep0)
+
+
+def _fast_keep(iou, iou_threshold):
+    """Parallel approximation: keep i if no higher-scored box overlaps it."""
+    upper = jnp.triu(iou, k=1)  # iou[j, i] for j < i lives above the diagonal
+    max_prev = jnp.max(upper, axis=-2)
+    return max_prev <= iou_threshold
+
+
+@partial(jax.jit, static_argnames=('max_detections', 'per_class_k', 'mode'))
+def batched_class_aware_nms(boxes, scores,
+                            iou_threshold=0.6,
+                            score_threshold=0.005,
+                            max_detections=100,
+                            per_class_k=100,
+                            mode='exact'):
+    """Batched multi-class NMS with SSD semantics.
+
+    Args:
+      boxes:  [B, A, 4] decoded boxes shared across classes.
+      scores: [B, A, C] per-class scores (background already removed).
+    Returns:
+      nms_boxes  [B, max_detections, 4]
+      nms_scores [B, max_detections]      (0.0 for padding)
+      nms_classes[B, max_detections]      int32, 1-based labels — class c of
+                                          the scores tensor reports as c + 1,
+                                          matching the reference's label
+                                          offset (edge_tpu.py:49).
+      valid      [B]                      int32 count of real detections.
+    """
+    B, A, C = scores.shape
+    k = min(per_class_k, A)
+
+    top_scores, top_idx = _per_class_topk(scores, k)     # [B, C, k]
+    top_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :].repeat(1, axis=1),          # [B, 1, A, 4]
+        top_idx[..., None], axis=2)                      # -> [B, C, k, 4]
+
+    iou = iou_matrix(top_boxes, top_boxes)               # [B, C, k, k]
+    if mode == 'fast':
+        keep = _fast_keep(iou, iou_threshold)
+    else:
+        keep = _greedy_keep(iou, iou_threshold, k)
+
+    kept_scores = jnp.where(keep & (top_scores > score_threshold),
+                            top_scores, 0.0)             # [B, C, k]
+
+    # merge classes: global top max_detections over C*k survivors
+    flat_scores = kept_scores.reshape(B, C * k)
+    flat_boxes = top_boxes.reshape(B, C * k, 4)
+    flat_classes = (jnp.arange(C, dtype=jnp.int32)[None, :, None] + 1) \
+        .repeat(k, axis=2).reshape(1, C * k).repeat(B, axis=0)
+
+    n_out = min(max_detections, C * k)
+    out_scores, out_idx = jax.lax.top_k(flat_scores, n_out)   # [B, n_out]
+    out_boxes = jnp.take_along_axis(flat_boxes, out_idx[..., None], axis=1)
+    out_classes = jnp.take_along_axis(flat_classes, out_idx, axis=1)
+
+    valid_mask = out_scores > 0.0
+    out_classes = jnp.where(valid_mask, out_classes, 0)
+    out_boxes = jnp.where(valid_mask[..., None], out_boxes, 0.0)
+    valid = jnp.sum(valid_mask.astype(jnp.int32), axis=-1)
+
+    if n_out < max_detections:
+        pad = max_detections - n_out
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
+        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
+    return out_boxes, out_scores, out_classes, valid

@@ -1,0 +1,145 @@
+"""HTTP video streaming: MJPEG multipart and MPEG-TS chunk iterators with
+per-request dynamic subscription.
+
+Reference contract (/root/reference/watsor/output/video.py:38-166): each
+HTTP request subscribes its own depth-1 queue to the camera pipeline and
+runs the role inline in the serving thread (Stub delegate); on disconnect
+it unsubscribes and depletes the queue so ring slots return; MJPEG frames
+are JPEG-encoded once per frame epoch into a cache shared by all viewers;
+an idle tick emits an empty multipart part as keep-alive.
+"""
+
+import threading
+from queue import Empty, Queue
+
+from watsor_tpu.runtime.tasks import Stub, WorkPublish
+
+BOUNDARY = b'--frame'
+
+
+class _JpegCache:
+    """One JPEG per frame epoch, shared across all MJPEG viewers of the
+    same camera (the reference keys its shared cache the same way,
+    /root/reference/watsor/output/video.py:120-132)."""
+
+    def __init__(self, encode):
+        self._encode = encode
+        self._lock = threading.Lock()
+        self._epoch = None
+        self._data = b''
+
+    def get(self, frame):
+        epoch = frame.epoch
+        with self._lock:
+            if epoch != self._epoch:
+                self._data = self._encode(frame.image)
+                self._epoch = epoch
+            return self._data
+
+
+def default_jpeg_encode(image):
+    try:
+        from watsor_tpu.io import native
+        return native.jpeg_encode(image)
+    except Exception:
+        import cv2
+        ok, data = cv2.imencode('.jpg', image[:, :, ::-1])
+        return data.tobytes() if ok else b''
+
+
+class HttpStream(WorkPublish):
+    """A per-request worker driven inline by response iteration: ``start``
+    subscribes, ``__next__`` pulls one payload (or emits a keep-alive), and
+    ``close`` unsubscribes and depletes the queue so no ring slot leaks."""
+
+    def __init__(self, name, publisher, frame_buffer, stop_event=None):
+        queue = Queue(1)
+        self._publisher = publisher
+        self._stub = None
+        self._chunk = None
+        super().__init__(name, queue, frame_buffer, stop_event)
+
+    # Run inline (Stub), not as a thread.
+    def initialize(self):
+        self._stub = Stub(self)
+
+    def start(self):
+        self._stub.start()
+        self._publisher.subscribe(self.frame_queue)
+
+    def is_alive(self):
+        return False
+
+    def join(self, timeout=None):
+        pass
+
+    def close(self):
+        self._publisher.unsubscribe(self.frame_queue)
+        # deplete: confirm any payloads still queued so slots return
+        while True:
+            try:
+                payload = self.frame_queue.get_nowait()
+            except Empty:
+                break
+            self.frame_buffer.frames[payload.frame_index].latch.next()
+        self._stub.close()
+
+    def __iter__(self):
+        self.start()
+        return self
+
+    def __next__(self):
+        if self.stop_event.is_set():
+            raise StopIteration
+        self._chunk = None
+        self._stub.step()          # Work._process: 1 s timeout then _no_frame
+        return self._chunk if self._chunk is not None else self._keep_alive()
+
+    def _keep_alive(self):
+        return b''
+
+
+class MotionJpeg(HttpStream):
+    """multipart/x-mixed-replace JPEG stream."""
+
+    def __init__(self, name, publisher, frame_buffer, jpeg_cache=None,
+                 stop_event=None):
+        super().__init__(name, publisher, frame_buffer, stop_event)
+        self._cache = jpeg_cache if jpeg_cache is not None \
+            else _JpegCache(default_jpeg_encode)
+
+    @property
+    def mime_type(self):
+        return 'multipart/x-mixed-replace; boundary=' + \
+            BOUNDARY.decode().lstrip('-')
+
+    def _new_frame(self, frame, payload):
+        try:
+            data = self._cache.get(frame)
+        finally:
+            frame.latch.next()
+        self._chunk = (BOUNDARY + b'\r\n'
+                       b'Content-Type: image/jpeg\r\n'
+                       b'Content-Length: ' + str(len(data)).encode() +
+                       b'\r\n\r\n' + data + b'\r\n')
+
+    def _keep_alive(self):
+        # empty part: keeps the connection warm while the camera is off
+        return BOUNDARY + b'\r\n\r\n'
+
+
+class MpegTS(HttpStream):
+    """Raw MPEG-TS byte stream from the broadcast encoder's chunk ring."""
+
+    mime_type = 'video/mp2t'
+
+    def __init__(self, name, encoder, stop_event=None):
+        self._ring = encoder.ts_ring
+        super().__init__(name, encoder, self._ring.buffer, stop_event)
+
+    def _new_frame(self, slot, payload):
+        try:
+            length = self._ring.lengths[payload.frame_index]
+            self._chunk = slot.image.reshape(-1)[:length].tobytes()
+        finally:
+            slot.latch.next()

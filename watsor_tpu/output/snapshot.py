@@ -1,0 +1,86 @@
+"""Snapshot keeper: retains the best-confidence frame per configured class
+and serves it as a JPEG on demand.
+
+Reference contract (/root/reference/watsor/output/snapshot.py:13-93): a
+private ring with one slot per configured class; a new detection replaces
+the stored frame when its confidence is higher or the stored one is older
+than 10 s; ``get(label)`` renders the stored frame through the effect chain
+and JPEG-encodes it.
+"""
+
+import threading
+from time import time
+
+from watsor_tpu.config.coco import coco_label_index
+from watsor_tpu.runtime.frames import FrameBuffer
+from watsor_tpu.runtime.meters import FramesPerSecond
+from watsor_tpu.runtime.tasks import WorkPublish
+
+SNAPSHOT_TTL_SECONDS = 10.0
+
+
+class Snapshot(WorkPublish):
+
+    def __init__(self, name, frame_queue, frame_buffer, class_names, effects,
+                 stop_event=None, jpeg_encode=None):
+        h, w = frame_buffer.frames[0].image.shape[:2]
+        self._labels = {}
+        for i, class_name in enumerate(class_names):
+            self._labels[coco_label_index(class_name)] = i
+        self._store = FrameBuffer(max(len(class_names), 1), w, h)
+        self._scratch = FrameBuffer(1, w, h).frames[0]
+        self._best = [(-1.0, 0.0)] * len(self._store)  # (confidence, stamp)
+        self._store_lock = threading.Lock()
+        self._effects = list(effects)
+        self._jpeg_encode = jpeg_encode
+        self.fps = FramesPerSecond()
+        super().__init__(name, frame_queue, frame_buffer, stop_event)
+
+    def _new_frame(self, frame, payload):
+        try:
+            now = time()
+            with self._store_lock:
+                for det in frame.detections_view():
+                    slot = self._labels.get(int(det['label']))
+                    if slot is None:
+                        continue
+                    confidence, stamp = self._best[slot]
+                    expired = now - stamp > SNAPSHOT_TTL_SECONDS
+                    if det['confidence'] > confidence or expired:
+                        stored = self._store.frames[slot]
+                        stored.header[...] = frame.header
+                        stored.image[...] = frame.image
+                        self._best[slot] = (float(det['confidence']), now)
+            self.fps(True)
+        finally:
+            frame.latch.next()
+
+    def get(self, class_name):
+        """Render + JPEG-encode the stored best frame for a class; returns
+        None when that class has never been sighted."""
+        slot = self._labels.get(coco_label_index(class_name))
+        if slot is None:
+            return None
+        with self._store_lock:
+            confidence, _ = self._best[slot]
+            if confidence < 0:
+                return None
+            stored = self._store.frames[slot]
+            scratch = self._scratch
+            scratch.header[...] = stored.header
+            scratch.image[...] = stored.image
+            for effect in self._effects:
+                effect.apply(stored, scratch)
+            image = scratch.image.copy()
+        return self._encode(image)
+
+    def _encode(self, image):
+        if self._jpeg_encode is not None:
+            return self._jpeg_encode(image)
+        try:
+            from watsor_tpu.io import native
+            return native.jpeg_encode(image)
+        except Exception:
+            import cv2
+            ok, data = cv2.imencode('.jpg', image[:, :, ::-1])
+            return data.tobytes() if ok else None

@@ -159,14 +159,17 @@ class StateLatch:
 
 class Frame:
     """One slot of a frame ring: header (epoch + in-band detections), an
-    image view into the arena, and the ownership latch."""
+    image view into the arena, an optional detect-resolution plane (filled
+    by the decoder in the same swscale pass so the detection batch is a
+    straight memcpy), and the ownership latch."""
 
-    __slots__ = ('header', 'image', 'latch', 'lock')
+    __slots__ = ('header', 'image', 'detect_plane', 'latch', 'lock')
 
-    def __init__(self, image_view, lock=None):
+    def __init__(self, image_view, lock=None, detect_view=None):
         self.lock = lock if lock is not None else threading.RLock()
         self.header = np.zeros((), dtype=HEADER_DTYPE)
         self.image = image_view
+        self.detect_plane = detect_view
         self.latch = StateLatch(State.READY, self.lock)
 
     @property
@@ -197,9 +200,16 @@ class FrameBuffer:
     them into a device transfer without per-frame copies of headers.
     """
 
-    def __init__(self, size, width, height, channels=3):
+    def __init__(self, size, width, height, channels=3, detect_hw=None):
         self.arena = np.zeros((size, height, width, channels), dtype=np.uint8)
-        self.frames = [Frame(self.arena[i]) for i in range(size)]
+        self.detect_arena = None
+        detect_views = [None] * size
+        if detect_hw is not None:
+            dh, dw = detect_hw
+            self.detect_arena = np.zeros((size, dh, dw, channels), np.uint8)
+            detect_views = [self.detect_arena[i] for i in range(size)]
+        self.frames = [Frame(self.arena[i], detect_view=detect_views[i])
+                       for i in range(size)]
         self._stale_logged = 0.0
 
     def __len__(self):
