@@ -1,0 +1,129 @@
+"""End-to-end application test: a synthetic camera + the analytic shape
+detector behind the real composition root and HTTP server. Covers the
+startup call stack, /health, /metrics, /snapshot, MJPEG streaming and
+shutdown — the reference's integration strategy with zero ML and no
+hardware (SURVEY.md §4)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from watsor_tpu.main import Application, _parse_commandline_arguments
+from watsor_tpu.testing.shapes import ShapeDetectorBackend
+
+CONFIG = """
+http:
+  port: {port}
+detect:
+  - person:
+      confidence: 10
+      area: 1
+cameras:
+  - synth1:
+      width: 160
+      height: 120
+      input: synthetic://shapes
+      detect:
+        - person:
+            confidence: 10
+            area: 1
+        - car:
+            confidence: 10
+            area: 1
+      ffmpeg:
+        decoder:
+          - -i
+          - -f
+          - rawvideo
+          - -pix_fmt
+          - rgb24
+"""
+
+
+@pytest.fixture(scope='module')
+def app_url(tmp_path_factory):
+    import socket
+    sock = socket.socket()
+    sock.bind(('127.0.0.1', 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    config_file = tmp_path_factory.mktemp('cfg') / 'config.yaml'
+    config_file.write_text(CONFIG.format(port=port))
+
+    args = _parse_commandline_arguments(['-c', str(config_file)])
+    app = Application(args, backend_factory=lambda device:
+                      ShapeDetectorBackend((120, 160)))
+    thread = threading.Thread(target=app.run, daemon=True)
+    thread.start()
+
+    url = 'http://127.0.0.1:{}'.format(port)
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(url + '/health', timeout=1)
+            break
+        except Exception:
+            time.sleep(0.2)
+    else:
+        pytest.fail('application HTTP server did not come up')
+    yield url
+    app._stop_main.set()
+    thread.join(20)
+
+
+def _get(url, timeout=5):
+    with urllib.request.urlopen(url, timeout=timeout) as response:
+        return response.read()
+
+
+def test_health(app_url):
+    assert _get(app_url + '/health') == b'UP'
+
+
+def test_home_page_lists_camera(app_url):
+    body = _get(app_url + '/').decode()
+    assert 'synth1' in body and '/video/mjpeg/synth1' in body
+
+
+def test_metrics_shape_and_progress(app_url):
+    time.sleep(2)
+    metrics = json.loads(_get(app_url + '/metrics'))
+    assert 'synth1' in metrics['cameras']
+    cam = metrics['cameras']['synth1']
+    assert cam['decoder']['fps'] > 0, "decoder not producing frames"
+    assert len(metrics['detectors']) >= 1
+    assert metrics['detectors'][0]['fps'] > 0, "detector not consuming"
+
+
+def test_mjpeg_stream_delivers_frames(app_url):
+    request = urllib.request.urlopen(app_url + '/video/mjpeg/synth1',
+                                     timeout=10)
+    data = request.read(40000)
+    request.close()
+    assert b'--frame' in data
+    assert b'\xff\xd8' in data, "no JPEG SOI marker in MJPEG stream"
+
+
+def test_snapshot_after_detection(app_url):
+    deadline = time.time() + 15
+    last_status = None
+    while time.time() < deadline:
+        try:
+            data = _get(app_url + '/snapshot/synth1/person')
+            assert data[:2] == b'\xff\xd8'
+            return
+        except urllib.error.HTTPError as e:
+            last_status = e.code
+            time.sleep(0.5)
+    pytest.fail('snapshot never became available (last status {})'
+                .format(last_status))
+
+
+def test_unknown_camera_404(app_url):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(app_url + '/video/mjpeg/nope')
+    assert err.value.code == 404

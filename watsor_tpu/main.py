@@ -1,0 +1,435 @@
+"""Application: composition root, HTTP API and CLI.
+
+Public surface matches the reference (/root/reference/watsor/main.py):
+
+    python -m watsor_tpu.main --config conf.yaml [--model-path DIR]
+                              [--log-path DIR] [--log-level LEVEL]
+
+HTTP endpoints: ``/`` (home page), ``/health``, ``/metrics``,
+``/snapshot/{camera}/{label}``, ``/video/mjpeg/{camera}``,
+``/video/mpegts/{camera}`` with optional basic auth (main.py:122-174 in the
+reference).
+
+The per-camera graph is re-architected for one process around one (or more)
+TPU chip(s): decoder task -> shared balanced queue -> ONE batched detector
+per chip -> per-camera sieve -> {visual effects -> encoder/MJPEG, MQTT,
+snapshot} — all threads sharing the frame arena, versus the reference's
+per-camera processes + shared-memory rings (main.py:354-419).
+"""
+
+import argparse
+import base64
+import json
+import logging
+import os
+import signal
+import threading
+from collections import namedtuple
+from queue import Queue
+
+from watsor_tpu.config import parse, validate, normalize
+from watsor_tpu.runtime.frames import FrameBuffer
+from watsor_tpu.runtime.channel import balanced_queue_group
+from watsor_tpu.runtime.logs import init_logging
+from watsor_tpu.runtime.meters import RateLimiter
+from watsor_tpu.runtime.watchdog import WatchDog
+
+_LOGGER = logging.getLogger('watsor_tpu.main')
+
+Camera = namedtuple('Camera', [
+    'name', 'config', 'buffer_in', 'buffer_out', 'decoder', 'sieve',
+    'visual_effects', 'encoder', 'snapshot', 'mqtt', 'rate_limiter'])
+
+
+def _parse_commandline_arguments(argv=None):
+    parser = argparse.ArgumentParser(
+        description='watsor-tpu: TPU-native object detection for video '
+                    'surveillance')
+    parser.add_argument('-c', '--config', required=True,
+                        help='configuration YAML file')
+    parser.add_argument('-m', '--model-path', default=os.environ.get(
+        'MODEL_PATH', '/usr/share/watsor/model'),
+        help='directory with detection model weights')
+    parser.add_argument('--log-path', default=os.environ.get('LOG_PATH'),
+                        help='directory for rotated log files')
+    parser.add_argument('--log-level',
+                        default=os.environ.get('LOG_LEVEL', 'INFO'),
+                        help='logging level')
+    return parser.parse_args(argv)
+
+
+class Application:
+    """Builds and runs the whole graph from a validated config."""
+
+    DETECT_SIZE = 300  # model input resolution (detect planes in the arena)
+
+    def __init__(self, args=None, backend_factory=None):
+        self._args = args or _parse_commandline_arguments()
+        self._stop_main = threading.Event()
+        self._cameras = []
+        self._detectors = []
+        self._watchdog = WatchDog()
+        self._http_server = None
+        self._http_config = {}
+        # injectable for tests: device -> DetectorBackend (the reference's
+        # analog is swapping in the analytic shape detector, SURVEY.md §4)
+        self._backend_factory = backend_factory
+
+    # -- construction ------------------------------------------------------
+
+    def _read_config(self):
+        config = normalize(validate(parse(self._args.config)),
+                           os.path.dirname(os.path.abspath(self._args.config)))
+        return config
+
+    def _create_filters(self, camera_name, camera_config, rate_limiter):
+        from watsor_tpu.filters import (AreaFilter, ConfidenceFilter,
+                                        DetectionSieve, MaskFilter,
+                                        TrackFilter, ZoneMask)
+        detect_config = camera_config['detect']
+        chain = [ConfidenceFilter(detect_config), AreaFilter(detect_config)]
+        zone_mask = None
+        mask_path = camera_config.get('mask')
+        if mask_path:
+            import cv2
+            from watsor_tpu.filters.mask import get_alpha_channel
+            image = cv2.imread(mask_path, cv2.IMREAD_UNCHANGED)
+            alpha = get_alpha_channel(image)
+            zone_mask = ZoneMask(alpha, (camera_config['height'],
+                                         camera_config['width']))
+            chain.append(MaskFilter(detect_config, zone_mask))
+        track = TrackFilter(chain)
+        return track, zone_mask
+
+    def _create_effects(self, zone_mask):
+        from watsor_tpu.output.effects import (BlendEffect, CopyHeaderEffect,
+                                               CopyImageEffect, DrawEffect,
+                                               DrawEffectWithContours)
+        if zone_mask is not None:
+            return [CopyHeaderEffect(), CopyImageEffect(),
+                    BlendEffect(zone_mask), DrawEffectWithContours(zone_mask)]
+        return [CopyHeaderEffect(), CopyImageEffect(), DrawEffect()]
+
+    def _create_decoder(self, camera_name, camera_config, frame_queue,
+                        buffer_in, rate_limiter):
+        url = camera_config['input']
+        if url.startswith('synthetic://'):
+            from watsor_tpu.io.synthetic import SyntheticDecoder
+            return SyntheticDecoder(camera_name, frame_queue, buffer_in,
+                                    rate_limiter=rate_limiter)
+        from watsor_tpu.io.video import VideoDecoder, decoder_options_from_argv
+        options, realtime = decoder_options_from_argv(
+            camera_config['ffmpeg']['decoder'])
+        return VideoDecoder(camera_name, frame_queue, buffer_in, url,
+                            options=options,
+                            realtime=realtime or None,
+                            rate_limiter=rate_limiter)
+
+    def _create_encoder(self, camera_name, camera_config, buffer_out,
+                        visual_effects):
+        if 'encoder' not in camera_config.get('ffmpeg', {}):
+            return None
+        from watsor_tpu.io.video import VideoEncoder
+        output_path = camera_config.get('output')
+        encoder_queue = Queue(1)
+        encoder = VideoEncoder(
+            camera_name + '-encoder', encoder_queue, buffer_out,
+            camera_config['width'], camera_config['height'],
+            output_path=output_path, broadcast=output_path is None)
+        visual_effects.subscribe(encoder_queue)
+        return encoder
+
+    def _class_names(self, camera_config):
+        return [next(iter(entry)) for entry in camera_config['detect']]
+
+    def _setup_camera(self, camera_name, camera_config, frame_queue,
+                      mqtt_config):
+        from watsor_tpu.filters import DetectionSieve
+        from watsor_tpu.output.snapshot import Snapshot
+        from watsor_tpu.output.visual import VisualEffects
+
+        w, h = camera_config['width'], camera_config['height']
+        detect_hw = (self.DETECT_SIZE, self.DETECT_SIZE)
+        buffer_in = FrameBuffer(10, w, h, detect_hw=detect_hw)
+        buffer_out = FrameBuffer(10, w, h)
+
+        rate_limiter = RateLimiter()
+        decoder = self._create_decoder(camera_name, camera_config,
+                                       frame_queue, buffer_in, rate_limiter)
+
+        track, zone_mask = self._create_filters(camera_name, camera_config,
+                                                rate_limiter)
+        sieve_queue = Queue(1)
+        sieve = DetectionSieve(camera_name + '-sieve', sieve_queue, buffer_in,
+                               track, rate_limiter)
+        decoder.subscribe(sieve_queue)
+
+        effects_queue = Queue(1)
+        visual_effects = VisualEffects(
+            camera_name + '-effects', effects_queue, buffer_in, buffer_out,
+            self._create_effects(zone_mask))
+        sieve.subscribe(effects_queue)
+
+        encoder = self._create_encoder(camera_name, camera_config,
+                                       buffer_out, visual_effects)
+
+        snapshot_queue = Queue(1)
+        snapshot = Snapshot(camera_name + '-snapshot', snapshot_queue,
+                            buffer_in, self._class_names(camera_config),
+                            self._create_effects(zone_mask))
+        sieve.subscribe(snapshot_queue)
+
+        mqtt = None
+        if mqtt_config:
+            from watsor_tpu.output.mqtt import MQTT
+            mqtt_queue = Queue(1)
+            mqtt = MQTT(camera_name + '-mqtt', camera_name, mqtt_queue,
+                        buffer_in, mqtt_config,
+                        self._class_names(camera_config), decoder)
+            sieve.subscribe(mqtt_queue)
+
+        return Camera(camera_name, camera_config, buffer_in, buffer_out,
+                      decoder, sieve, visual_effects, encoder, snapshot,
+                      mqtt, rate_limiter)
+
+    def _setup(self, config):
+        self._http_config = config.get('http', {})
+        mqtt_config = config.get('mqtt')
+        camera_names = [next(iter(c)) for c in config['cameras']]
+        queues = balanced_queue_group(camera_names, maxsize=len(camera_names))
+
+        for camera in config['cameras']:
+            camera_name = next(iter(camera))
+            self._cameras.append(self._setup_camera(
+                camera_name, camera[camera_name], queues[camera_name],
+                mqtt_config))
+
+        from watsor_tpu.detection import create_object_detectors
+
+        backend_factory = self._backend_factory
+        if backend_factory is None:
+            from watsor_tpu.detection import JaxDetectorBackend
+            from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
+            detector = build_from_zoo(DEFAULT_MODEL, self._args.model_path)
+            backend_factory = \
+                lambda device: JaxDetectorBackend(detector, device)
+        buffers = {c.name: c.buffer_in for c in self._cameras}
+        self._detectors = create_object_detectors(queues, buffers,
+                                                  backend_factory)
+
+    # -- HTTP --------------------------------------------------------------
+
+    def _check_auth(self, environ):
+        username = self._http_config.get('username')
+        if not username:
+            return True
+        header = environ.get('HTTP_AUTHORIZATION', '')
+        if not header.startswith('Basic '):
+            return False
+        try:
+            decoded = base64.b64decode(header[6:]).decode()
+        except Exception:
+            return False
+        expected = '{}:{}'.format(username,
+                                  self._http_config.get('password', ''))
+        return decoded == expected
+
+    def _camera_by_name(self, name):
+        for camera in self._cameras:
+            if camera.name == name:
+                return camera
+        return None
+
+    def _metrics(self):
+        cameras = {}
+        for c in self._cameras:
+            cameras[c.name] = {
+                'decoder': {'fps': round(c.decoder.fps.fps, 1)},
+                'sieve': {'fps': round(c.sieve.fps.fps, 1)},
+                'visual_effects': {'fps': round(c.visual_effects.fps.fps, 1)},
+                'snapshot': {'fps': round(c.snapshot.fps.fps, 1)},
+                'encoder': {'fps': round(c.encoder.fps.fps, 1)}
+                if c.encoder else None,
+                'mqtt': {'fps': round(c.mqtt.fps.fps, 1)} if c.mqtt else None,
+                'buffer_in': int(c.buffer_in.fullness * 100),
+                'buffer_out': int(c.buffer_out.fullness * 100),
+            }
+        detectors = []
+        for d in self._detectors:
+            inference_time = d.inference_time.value
+            detectors.append({
+                'name': d.device_name,
+                'fps': round(d.fps.fps, 1),
+                'fps_max': round(1000.0 / inference_time, 1)
+                if inference_time else 0.0,
+                'inference_time': round(inference_time, 2),
+            })
+        return {'cameras': cameras, 'detectors': detectors}
+
+    def _home_page(self):
+        rows = []
+        for c in self._cameras:
+            links = ['<a href="/video/mjpeg/{0}">mjpeg</a>'.format(c.name)]
+            if c.encoder is not None and c.encoder.ts_ring is not None:
+                links.append(
+                    '<a href="/video/mpegts/{0}">mpegts</a>'.format(c.name))
+            for label in self._class_names(c.config):
+                links.append('<a href="/snapshot/{0}/{1}">{1}</a>'.format(
+                    c.name, label))
+            rows.append('<li><b>{}</b> {}</li>'.format(c.name,
+                                                       ' '.join(links)))
+        return ('<html><head><title>watsor-tpu</title></head><body>'
+                '<h1>watsor-tpu</h1><ul>{}</ul>'
+                '<p><a href="/metrics">metrics</a> '
+                '<a href="/health">health</a></p>'
+                '</body></html>').format(''.join(rows))
+
+    def _wsgi_app(self, environ, start_response):
+        from werkzeug.wrappers import Request, Response
+
+        request = Request(environ)
+        path = request.path
+
+        if path == '/health':
+            response = Response('UP', mimetype='text/plain')
+            return response(environ, start_response)
+
+        if not self._check_auth(environ):
+            response = Response(
+                'Unauthorized', status=401,
+                headers={'WWW-Authenticate': 'Basic realm="watsor"'})
+            return response(environ, start_response)
+
+        try:
+            if path == '/':
+                response = Response(self._home_page(), mimetype='text/html')
+            elif path == '/metrics':
+                response = Response(json.dumps(self._metrics(), indent=2),
+                                    mimetype='application/json')
+            elif path.startswith('/snapshot/'):
+                response = self._snapshot_response(path)
+            elif path.startswith('/video/mjpeg/'):
+                response = self._mjpeg_response(path)
+            elif path.startswith('/video/mpegts/'):
+                response = self._mpegts_response(path)
+            else:
+                response = Response('Not found', status=404)
+        except Exception:
+            _LOGGER.exception('HTTP handler error for %s', path)
+            response = Response('Internal error', status=500)
+        return response(environ, start_response)
+
+    def _snapshot_response(self, path):
+        from werkzeug.wrappers import Response
+        parts = path.strip('/').split('/')
+        if len(parts) != 3:
+            return Response('Not found', status=404)
+        camera = self._camera_by_name(parts[1])
+        if camera is None:
+            return Response('Unknown camera', status=404)
+        data = camera.snapshot.get(parts[2])
+        if data is None:
+            return Response('No snapshot yet', status=404)
+        return Response(data, mimetype='image/jpeg')
+
+    def _mjpeg_response(self, path):
+        from werkzeug.wrappers import Response
+        from watsor_tpu.output.http_stream import MotionJpeg
+        camera = self._camera_by_name(path.rsplit('/', 1)[-1])
+        if camera is None:
+            return Response('Unknown camera', status=404)
+        stream = MotionJpeg(camera.name + '-mjpeg', camera.visual_effects,
+                            camera.buffer_out, stop_event=self._stop_main)
+        response = Response(iter(stream), mimetype=stream.mime_type)
+        response.call_on_close(stream.close)
+        return response
+
+    def _mpegts_response(self, path):
+        from werkzeug.wrappers import Response
+        from watsor_tpu.output.http_stream import MpegTS
+        camera = self._camera_by_name(path.rsplit('/', 1)[-1])
+        if camera is None:
+            return Response('Unknown camera', status=404)
+        if camera.encoder is None or camera.encoder.ts_ring is None:
+            return Response('No MPEG-TS broadcast configured', status=404)
+        stream = MpegTS(camera.name + '-mpegts', camera.encoder,
+                        stop_event=self._stop_main)
+        response = Response(iter(stream), mimetype=stream.mime_type)
+        response.call_on_close(stream.close)
+        return response
+
+    def _http_serve(self):
+        from werkzeug.serving import make_server
+        port = self._http_config.get('port', 8080)
+        self._http_server = make_server('0.0.0.0', port, self._wsgi_app,
+                                        threaded=True)
+        thread = threading.Thread(name='http', daemon=True,
+                                  target=self._http_server.serve_forever)
+        thread.start()
+        _LOGGER.info('HTTP server listening on port %d', port)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _all_tasks(self):
+        for c in self._cameras:
+            yield from filter(None, (c.sieve, c.visual_effects, c.snapshot,
+                                     c.encoder, c.mqtt, c.decoder))
+        yield from self._detectors
+
+    def _install_signal_handler(self):
+        def handler(signum, frame):
+            _LOGGER.info('Signal %d received, shutting down', signum)
+            self._stop_main.set()
+        try:
+            signal.signal(signal.SIGINT, handler)
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not the main thread (embedded/test usage)
+
+    def run(self):
+        # Device-selection knob (the analog of the reference's
+        # CORAL_VISIBLE_DEVICES / CUDA_VISIBLE_DEVICES env plumbing,
+        # detection/devices.py): WATSOR_PLATFORM=cpu forces the CPU backend.
+        platform = os.environ.get('WATSOR_PLATFORM')
+        if platform:
+            import jax
+            try:
+                jax.config.update('jax_platforms', platform)
+            except Exception:
+                _LOGGER.warning('Could not select platform %r', platform)
+        init_logging(self._args.log_level, self._args.log_path)
+        self._install_signal_handler()
+        config = self._read_config()
+        self._setup(config)
+
+        for task in self._all_tasks():
+            task.start()
+            self._watchdog.add(task)
+        self._watchdog.start()
+        self._http_serve()
+
+        _LOGGER.info('watsor-tpu running: %d camera(s), %d detector(s)',
+                     len(self._cameras), len(self._detectors))
+        try:
+            self._stop_main.wait()
+        finally:
+            self._shutdown()
+
+    def _shutdown(self):
+        _LOGGER.info('Stopping...')
+        self._watchdog.join(5)
+        if self._http_server is not None:
+            self._http_server.shutdown()
+        for task in self._all_tasks():
+            task.terminate()
+        for task in self._all_tasks():
+            task.join(30)
+        _LOGGER.info('Stopped')
+
+
+def main(argv=None):
+    Application(_parse_commandline_arguments(argv)).run()
+
+
+if __name__ == '__main__':
+    main()

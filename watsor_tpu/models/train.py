@@ -1,0 +1,116 @@
+"""SSD training step (anchor matching + focal/huber losses, optax).
+
+The reference's only training path is its test tooling: it generates a
+synthetic shape dataset and fine-tunes SSD-MobileNet through the TF OD API
+(/root/reference/watsor/test/model/prepare.py:201-357). Here training is a
+first-class jittable step so (a) the shape model used by the integration
+tests can be produced in-framework, and (b) the step shards over a device
+mesh: batch over the ``data`` axis, prediction-head channels over the
+``model`` axis (see watsor_tpu/parallel).
+
+Everything is static-shape: ground truth arrives padded to ``max_boxes``
+with a validity mask, anchor matching is a dense [A, G] IoU argmax, and the
+losses are masked reductions — one XLA program, no host sync.
+"""
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from watsor_tpu.models.ssd import SSD, SSDConfig, anchors_for
+from watsor_tpu.ops.boxes import encode_boxes, iou_matrix
+from watsor_tpu.ops.preprocess import resize_bilinear_mxu
+
+MATCH_IOU = 0.5
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate=1e-3, weight_decay=1e-5):
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def init_train_state(config: SSDConfig, rng, tx) -> TrainState:
+    model = SSD(config)
+    dummy = jnp.zeros((1, config.input_size, config.input_size, 3),
+                      config.dtype)
+    variables = model.init(rng, dummy, train=True)
+    return TrainState(variables, tx.init(variables['params']),
+                      jnp.zeros((), jnp.int32))
+
+
+def _match_anchors(anchors, gt_boxes, gt_labels, gt_valid):
+    """Per-image anchor matching. gt_boxes [G, 4] normalized, gt_labels [G]
+    (1-based), gt_valid [G] bool -> (cls_targets [A], box_targets [A, 4],
+    positive [A])."""
+    iou = iou_matrix(anchors, gt_boxes)                 # [A, G]
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)                   # [A]
+    best_iou = jnp.max(iou, axis=1)
+    positive = best_iou >= MATCH_IOU
+    cls_targets = jnp.where(positive, gt_labels[best_gt], 0)
+    box_targets = encode_boxes(gt_boxes[best_gt], anchors)
+    return cls_targets, box_targets, positive
+
+
+def _focal_loss(logits, targets_onehot, alpha=0.25, gamma=2.0):
+    p = jax.nn.sigmoid(logits)
+    ce = optax.sigmoid_binary_cross_entropy(logits, targets_onehot)
+    p_t = p * targets_onehot + (1.0 - p) * (1.0 - targets_onehot)
+    alpha_t = alpha * targets_onehot + (1.0 - alpha) * (1.0 - targets_onehot)
+    return alpha_t * ((1.0 - p_t) ** gamma) * ce
+
+
+def make_train_step(config: SSDConfig, tx):
+    """Returns a jittable ``step(state, batch) -> (state, metrics)``.
+
+    batch: dict with
+      images    [B, H, W, 3] uint8 (resized on device to the model input)
+      gt_boxes  [B, G, 4] normalized ymin/xmin/ymax/xmax
+      gt_labels [B, G] int32 1-based
+      gt_valid  [B, G] bool
+    """
+    model = SSD(config)
+    anchors = jnp.asarray(anchors_for(config))
+    num_cls = config.num_classes + 1
+
+    def loss_fn(variables, batch):
+        x = resize_bilinear_mxu(batch['images'], config.input_size,
+                                config.input_size, dtype=jnp.float32)
+        x = (x * (2.0 / 255.0) - 1.0).astype(config.dtype)
+        box_enc, logits = model.apply(variables, x, train=False)
+
+        cls_t, box_t, positive = jax.vmap(
+            partial(_match_anchors, anchors))(
+                batch['gt_boxes'], batch['gt_labels'], batch['gt_valid'])
+
+        onehot = jax.nn.one_hot(cls_t, num_cls)
+        cls_loss = _focal_loss(logits, onehot).sum(-1)          # [B, A]
+        box_loss = optax.huber_loss(box_enc, box_t).sum(-1)     # [B, A]
+        num_pos = jnp.maximum(positive.sum(), 1.0)
+        total = (cls_loss.sum() +
+                 jnp.where(positive, box_loss, 0.0).sum()) / num_pos
+        return total, {'cls_loss': cls_loss.sum() / num_pos,
+                       'box_loss': jnp.where(positive, box_loss, 0.0).sum()
+                       / num_pos,
+                       'num_positive': num_pos}
+
+    def step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params, batch)
+        updates, opt_state = tx.update(grads['params'],
+                                       state.opt_state, state.params['params'])
+        params = dict(state.params)
+        params['params'] = optax.apply_updates(state.params['params'],
+                                               updates)
+        metrics = dict(metrics, loss=loss)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step

@@ -1,0 +1,92 @@
+"""Model registry and weight loading.
+
+The reference selects its backend by probing the model directory for
+``edgetpu.tflite`` / ``gpu.trt`` / ``cpu.pb`` files
+(/root/reference/watsor/detection/detector.py:40-50). Here the model
+directory is probed for JAX weight files; when none exist the detector
+runs with randomly-initialized weights (useful for benchmarks and the
+synthetic-shape pipeline, useless for real cameras — a warning says so).
+
+Weight formats:
+  - ``<name>.msgpack`` — flax.serialization of the full variables tree
+  - ``<name>.npz``     — flat dict of ``path/to/param`` -> array
+"""
+
+import logging
+import os
+
+import jax
+import numpy as np
+
+from watsor_tpu.models.ssd import SSDConfig, build_detector
+
+_LOGGER = logging.getLogger(__name__)
+
+# model stem -> detector config
+MODEL_REGISTRY = {
+    'ssd_mobilenet_v2': SSDConfig(),
+    'ssd_mobilenet_v2_shapes': SSDConfig(num_classes=3),
+}
+
+DEFAULT_MODEL = 'ssd_mobilenet_v2'
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split('/')
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def flatten_params(tree, prefix=''):
+    out = {}
+    for key, value in tree.items():
+        path = prefix + '/' + key if prefix else key
+        if isinstance(value, dict):
+            out.update(flatten_params(value, path))
+        else:
+            out[path] = np.asarray(value)
+    return out
+
+
+def load_weights(model_path, name):
+    """Returns a variables tree, or None if no weight file exists."""
+    if not model_path:
+        return None
+    msgpack_file = os.path.join(model_path, name + '.msgpack')
+    npz_file = os.path.join(model_path, name + '.npz')
+    if os.path.exists(msgpack_file):
+        from flax import serialization
+        with open(msgpack_file, 'rb') as f:
+            return serialization.msgpack_restore(f.read())
+    if os.path.exists(npz_file):
+        with np.load(npz_file) as data:
+            return _unflatten({k: data[k] for k in data.files})
+    return None
+
+
+def save_weights(params, model_path, name):
+    from flax import serialization
+    os.makedirs(model_path, exist_ok=True)
+    msgpack_file = os.path.join(model_path, name + '.msgpack')
+    with open(msgpack_file, 'wb') as f:
+        f.write(serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, params)))
+    return msgpack_file
+
+
+def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None):
+    """Build a detector, adopting stored weights when present."""
+    config = MODEL_REGISTRY.get(name, SSDConfig())
+    params = load_weights(model_path, name)
+    if params is None:
+        _LOGGER.warning(
+            "No weights for '%s' under %s — using random initialization "
+            "(fine for benchmarks/synthetic shapes, not for real cameras)",
+            name, model_path)
+    detector = build_detector(config, rng=rng, params=params)
+    return detector

@@ -91,14 +91,19 @@ def batched_class_aware_nms(boxes, scores,
         boxes[:, None, :, :].repeat(1, axis=1),          # [B, 1, A, 4]
         top_idx[..., None], axis=2)                      # -> [B, C, k, 4]
 
-    iou = iou_matrix(top_boxes, top_boxes)               # [B, C, k, k]
-    if mode == 'fast':
-        keep = _fast_keep(iou, iou_threshold)
+    if mode == 'pallas':
+        # VMEM-resident IoU + per-(batch,class) grid programs
+        from watsor_tpu.ops.nms_pallas import pallas_suppress
+        surviving = pallas_suppress(top_boxes, top_scores, iou_threshold)
+        kept_scores = jnp.where(surviving > score_threshold, surviving, 0.0)
     else:
-        keep = _greedy_keep(iou, iou_threshold, k)
-
-    kept_scores = jnp.where(keep & (top_scores > score_threshold),
-                            top_scores, 0.0)             # [B, C, k]
+        iou = iou_matrix(top_boxes, top_boxes)           # [B, C, k, k]
+        if mode == 'fast':
+            keep = _fast_keep(iou, iou_threshold)
+        else:
+            keep = _greedy_keep(iou, iou_threshold, k)
+        kept_scores = jnp.where(keep & (top_scores > score_threshold),
+                                top_scores, 0.0)         # [B, C, k]
 
     # merge classes: global top max_detections over C*k survivors
     flat_scores = kept_scores.reshape(B, C * k)

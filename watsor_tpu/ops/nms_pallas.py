@@ -1,0 +1,95 @@
+"""Pallas TPU kernel for the per-class NMS suppression stage.
+
+The XLA formulation (ops/nms.py) materializes the [B, C, K, K] IoU tensor
+in HBM and serializes the whole batch on each of the K suppression steps.
+This kernel gives each (batch, class) pair its own grid program: the K×K
+IoU matrix lives entirely in VMEM, the greedy loop runs locally, and
+programs parallelize across the grid — HBM traffic drops to the candidate
+boxes/scores in and the surviving scores out.
+
+Layout notes (pallas_guide.md): K is padded to 128 (lane width); boxes ride
+as [4, K] so the lane dimension is the long one; iota is 2-D.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _suppress_kernel(boxes_ref, scores_ref, out_ref, *, k, iou_threshold):
+    """One (batch, class) candidate set: boxes [1, 4, K], scores [1, 1, K]
+    sorted descending -> surviving scores [1, 1, K] (suppressed = 0)."""
+    ymin = boxes_ref[0, 0:1, :]                   # [1, K]
+    xmin = boxes_ref[0, 1:2, :]
+    ymax = boxes_ref[0, 2:3, :]
+    xmax = boxes_ref[0, 3:4, :]
+
+    # pairwise IoU in VMEM: rows i (higher-scored), cols j
+    inter_ymin = jnp.maximum(ymin.T, ymin)        # [K, K]
+    inter_xmin = jnp.maximum(xmin.T, xmin)
+    inter_ymax = jnp.minimum(ymax.T, ymax)
+    inter_xmax = jnp.minimum(xmax.T, xmax)
+    inter = jnp.maximum(inter_ymax - inter_ymin, 0.0) * \
+        jnp.maximum(inter_xmax - inter_xmin, 0.0)
+    area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)
+    union = area.T + area - inter
+    iou = inter / jnp.maximum(union, 1e-8)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, iou.shape[1]), 1)
+
+    def body(i, keep):
+        iou_i = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)   # [1, K]
+        keep_i = jax.lax.dynamic_slice_in_dim(keep, i, 1, axis=1)  # [1, 1]
+        suppress = (iou_i > iou_threshold) & (col > i) & keep_i
+        return keep & jnp.logical_not(suppress)
+
+    keep = jnp.ones((1, iou.shape[1]), dtype=jnp.bool_)
+    keep = jax.lax.fori_loop(0, k, body, keep)
+    out_ref[0, :, :] = jnp.where(keep, scores_ref[0, :, :], 0.0)
+
+
+@partial(jax.jit, static_argnames=('iou_threshold', 'interpret'))
+def _pallas_suppress_impl(top_boxes, top_scores, iou_threshold, interpret):
+    B, C, K, _ = top_boxes.shape
+    k_pad = ((K + LANE - 1) // LANE) * LANE
+    boxes_t = jnp.moveaxis(top_boxes, -1, -2)     # [B, C, 4, K]
+    if k_pad != K:
+        boxes_t = jnp.pad(boxes_t, ((0, 0), (0, 0), (0, 0), (0, k_pad - K)))
+        scores = jnp.pad(top_scores, ((0, 0), (0, 0), (0, k_pad - K)))
+    else:
+        scores = top_scores
+    boxes_t = boxes_t.reshape(B * C, 4, k_pad)
+    scores = scores.reshape(B * C, 1, k_pad)
+
+    out = pl.pallas_call(
+        partial(_suppress_kernel, k=K, iou_threshold=iou_threshold),
+        grid=(B * C,),
+        in_specs=[
+            pl.BlockSpec((1, 4, k_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, k_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * C, 1, k_pad), jnp.float32),
+        interpret=interpret,
+    )(boxes_t, scores)
+    return out.reshape(B, C, k_pad)[:, :, :K]
+
+
+def pallas_suppress(top_boxes, top_scores, iou_threshold=0.6,
+                    interpret=None):
+    """top_boxes [B, C, K, 4], top_scores [B, C, K] (score-sorted) ->
+    surviving scores [B, C, K]. Drop-in for the suppression stage of
+    ops/nms.batched_class_aware_nms. Falls back to the Pallas interpreter
+    off-TPU (CI runs on the CPU backend)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _pallas_suppress_impl(top_boxes, top_scores, iou_threshold,
+                                 interpret)

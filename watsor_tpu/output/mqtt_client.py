@@ -143,6 +143,12 @@ class MqttClient:
         sock, self._sock = self._sock, None
         if sock is not None:
             try:
+                # shutdown first: unblocks a reader thread parked in recv
+                # (a bare close is deferred while recv holds the fd)
+                sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
                 sock.close()
             except OSError:
                 pass

@@ -23,13 +23,43 @@ SHAPE_LABELS = {'triangle': 1, 'ellipse': 2, 'rectangle': 3}
 
 
 class Artist(ReadDetectPublish):
-    """Draws one random shape per frame on a white background."""
+    """Draws a smoothly drifting shape on a white background (the drift
+    keeps the tracker's centroid matching realistic: consecutive frames
+    show the same object slightly moved, switching shape occasionally)."""
+
+    SHAPE_PERSISTENCE = 60  # frames before the shape may change
 
     def __init__(self, name, frame_queue, frame_buffer, stop_event=None,
                  fps=30, seed=None):
         super().__init__(name, frame_queue, frame_buffer, stop_event)
         self._period = 1.0 / fps
         self._random = random.Random(seed)
+        self._state = None
+        self._age = 0
+
+    def _move(self, h, w):
+        if self._state is None or self._age >= self.SHAPE_PERSISTENCE:
+            size = self._random.randint(min(h, w) // 4, min(h, w) // 2)
+            self._state = {
+                'shape': self._random.choice(list(SHAPE_LABELS)),
+                'size': size,
+                'x': self._random.randint(0, w - size),
+                'y': self._random.randint(0, h - size),
+                'dx': self._random.choice((-2, -1, 1, 2)),
+                'dy': self._random.choice((-2, -1, 1, 2)),
+            }
+            self._age = 0
+        state = self._state
+        self._age += 1
+        state['x'] += state['dx']
+        state['y'] += state['dy']
+        if not 0 <= state['x'] <= w - state['size']:
+            state['dx'] = -state['dx']
+            state['x'] += 2 * state['dx']
+        if not 0 <= state['y'] <= h - state['size']:
+            state['dy'] = -state['dy']
+            state['y'] += 2 * state['dy']
+        return state
 
     def _new_frame(self, frame):
         self.stop_event.wait(self._period)
@@ -38,10 +68,11 @@ class Artist(ReadDetectPublish):
         img = frame.image
         img[:] = 255
         h, w = img.shape[:2]
-        size = self._random.randint(min(h, w) // 4, min(h, w) // 2)
-        x0 = self._random.randint(0, w - size)
-        y0 = self._random.randint(0, h - size)
-        shape = self._random.choice(list(SHAPE_LABELS))
+        state = self._move(h, w)
+        size = state['size']
+        x0 = int(state['x'])
+        y0 = int(state['y'])
+        shape = state['shape']
         color = (0, 0, 0)
         if shape == 'triangle':
             pts = np.array([[x0 + size // 2, y0], [x0, y0 + size - 1],

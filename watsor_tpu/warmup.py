@@ -1,0 +1,74 @@
+"""Ahead-of-time compile CLI: warm (and persist) the XLA compilation cache.
+
+The reference compiles its model offline into a TensorRT engine
+(/root/reference/watsor/engine.py + main_for_gpu.py:17-26, skipping the
+build when ``gpu.trt`` already exists, with FP32/FP16 selected by
+``TRT_FLOAT_PRECISION``). The TPU-native analog is jit compilation: this
+tool traces the fused detection step for every batch bucket the runtime
+uses and persists the compiled executables in JAX's compilation cache, so
+production startup pays ~0 compile time.
+
+    python -m watsor_tpu.warmup [-m MODEL] [--model-path DIR]
+                                [--cache-dir DIR] [-b 1 2 4 8 16 32]
+                                [-p {32,16}]
+
+Precision: ``-p 16`` (default, matching TPU-native bf16) or ``-p 32``; the
+``TRT_FLOAT_PRECISION`` env var is honored for drop-in compatibility.
+"""
+
+import argparse
+import os
+from time import perf_counter
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description='Precompile the detection '
+                                                 'step into the XLA cache')
+    parser.add_argument('-m', '--model', default=None,
+                        help='model name from the zoo (default flagship)')
+    parser.add_argument('--model-path', default=os.environ.get('MODEL_PATH'),
+                        help='directory with model weights')
+    parser.add_argument('--cache-dir',
+                        default=os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                               '/tmp/watsor-tpu-jit-cache'),
+                        help='persistent compilation cache directory')
+    parser.add_argument('-b', '--batches', type=int, nargs='+',
+                        default=[1, 2, 4, 8, 16, 32],
+                        help='batch buckets to compile')
+    parser.add_argument('-p', '--precision', type=int,
+                        choices=(16, 32),
+                        default=int(os.environ.get('TRT_FLOAT_PRECISION',
+                                                   16)),
+                        help='activation precision (16 = bfloat16)')
+    args = parser.parse_args(argv)
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir', args.cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
+    import jax.numpy as jnp
+    from watsor_tpu.models.ssd import SSDConfig
+    from watsor_tpu.models.zoo import DEFAULT_MODEL, MODEL_REGISTRY, \
+        build_from_zoo
+    from watsor_tpu.models import zoo
+
+    name = args.model or DEFAULT_MODEL
+    if args.precision == 32 and name in MODEL_REGISTRY:
+        MODEL_REGISTRY[name] = MODEL_REGISTRY[name]._replace(
+            dtype=jnp.float32)
+    detector = build_from_zoo(name, args.model_path)
+
+    size = detector.config.input_size
+    for batch in args.batches:
+        frames = jnp.asarray(np.zeros((batch, size, size, 3), np.uint8))
+        start = perf_counter()
+        jax.block_until_ready(detector.detect_batch(detector.params, frames))
+        print('batch {:3d}: compiled+ran in {:6.1f} s'.format(
+            batch, perf_counter() - start))
+    print('Compilation cache persisted under', args.cache_dir)
+
+
+if __name__ == '__main__':
+    main()
