@@ -1,0 +1,50 @@
+"""EfficientDet-Lite: anchors vs head shapes, fused detection contract."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from watsor_tpu.models.efficientdet import (EfficientDetConfig,
+                                            build_effdet, effdet_anchors,
+                                            effdet_feature_shapes)
+
+TINY = EfficientDetConfig(num_classes=3, variant='lite0', input_size=128,
+                          fpn_channels=16, fpn_repeats=1, head_repeats=1,
+                          dtype=jnp.float32)
+
+
+def test_feature_shapes_ladder():
+    shapes = effdet_feature_shapes(TINY)
+    assert shapes == [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+
+
+def test_anchor_count():
+    anchors = effdet_anchors(TINY)
+    cells = sum(h * w for h, w in effdet_feature_shapes(TINY))
+    assert anchors.shape == (cells * TINY.anchors_per_cell, 4)
+
+
+@pytest.fixture(scope='module')
+def tiny_effdet():
+    return build_effdet(TINY, rng=jax.random.PRNGKey(0))
+
+
+def test_heads_match_anchors(tiny_effdet):
+    det = tiny_effdet
+    x = jnp.zeros((1, TINY.input_size, TINY.input_size, 3), TINY.dtype)
+    boxes, logits = det.raw_apply(det.params, x)
+    assert boxes.shape == (1, det.anchors.shape[0], 4)
+    assert logits.shape == (1, det.anchors.shape[0], TINY.num_classes + 1)
+
+
+def test_detect_batch_contract(tiny_effdet):
+    det = tiny_effdet
+    frames = np.random.RandomState(0).randint(0, 255, (2, 100, 160, 3),
+                                              np.uint8)
+    out = det.detect_batch(det.params, jnp.asarray(frames))
+    assert out.boxes.shape == (2, TINY.max_detections, 4)
+    assert out.classes.shape == (2, TINY.max_detections)
+    assert np.asarray(out.boxes).min() >= 0.0
+    assert np.asarray(out.boxes).max() <= 1.0

@@ -14,14 +14,16 @@ in place (no separate result channel) and the latch is confirmed per frame,
 exactly as the reference's protocol requires.
 """
 
-import threading
 from queue import Empty
 from typing import Dict
 
 import numpy as np
 
+from time import time
+
 from watsor_tpu.runtime.frames import DETECTION_DTYPE, MAX_DETECTIONS
-from watsor_tpu.runtime.meters import FramesPerSecond, InferenceTime
+from watsor_tpu.runtime.meters import FramesPerSecond, InferenceTime, \
+    LatencyMeter
 from watsor_tpu.runtime.tasks import Task
 
 
@@ -40,7 +42,8 @@ class ObjectDetector(Task):
         self._staging = np.zeros((max_batch, h, w, 3), np.uint8)
         self.fps = FramesPerSecond()
         self.inference_time = InferenceTime()
-        self._device_name_lock = threading.Lock()
+        # north-star metric: frame capture -> detections-in-header
+        self.latency = LatencyMeter()
         super().__init__(name, stop_event)
 
     @property
@@ -101,7 +104,10 @@ class ObjectDetector(Task):
             return
 
         per_frame_ms = device_ms / len(frames)
+        now = time()
         for i, frame in enumerate(frames):
+            if frame.epoch > 0:
+                self.latency((now - frame.epoch) * 1000.0)
             n = min(int(valid[i]), MAX_DETECTIONS)
             records = np.zeros(n, DETECTION_DTYPE)
             if n:

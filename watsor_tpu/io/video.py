@@ -114,25 +114,14 @@ class VideoDecoder(ReadDetectPublish):
             # EOF: stream ended or camera dropped; end the spin so the
             # watchdog reconnects us (unless we were turned off)
             self._logger.info('Stream %s ended', self.name)
-            raise StopIteration
+            self._end_spin()
+            return False
         if not self.rate_limiter.allow():
             return False
         frame.clear()
         frame.stamp()
         self.fps(True)
         return True
-
-    def _process(self):
-        try:
-            super()._process()
-        except StopIteration:
-            # graceful end-of-stream: leave the loop alive=false
-            self._thread_stop()
-
-    def _thread_stop(self):
-        # end this spin without marking the component shut down, so the
-        # watchdog restarts it (reconnect semantics)
-        raise SystemExit
 
 
 class MpegTSRing:

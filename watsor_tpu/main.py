@@ -263,6 +263,9 @@ class Application:
                 'fps_max': round(1000.0 / inference_time, 1)
                 if inference_time else 0.0,
                 'inference_time': round(inference_time, 2),
+                # north-star metric: frame capture -> detections in header
+                'latency_ms_p50': round(d.latency.p50, 1),
+                'latency_ms_p95': round(d.latency.p95, 1),
             })
         return {'cameras': cameras, 'detectors': detectors}
 

@@ -22,10 +22,23 @@ from watsor_tpu.models.ssd import SSDConfig, build_detector
 
 _LOGGER = logging.getLogger(__name__)
 
-# model stem -> detector config
+
+def _build_effdet(config, rng=None, params=None):
+    from watsor_tpu.models.efficientdet import build_effdet
+    return build_effdet(config, rng=rng, params=params)
+
+
+def _effdet_config(variant='lite0'):
+    from watsor_tpu.models.efficientdet import EfficientDetConfig
+    return EfficientDetConfig(variant=variant)
+
+
+# model stem -> (builder, config); configs for effdet are built lazily to
+# keep the zoo import light
 MODEL_REGISTRY = {
-    'ssd_mobilenet_v2': SSDConfig(),
-    'ssd_mobilenet_v2_shapes': SSDConfig(num_classes=3),
+    'ssd_mobilenet_v2': (build_detector, SSDConfig()),
+    'ssd_mobilenet_v2_shapes': (build_detector, SSDConfig(num_classes=3)),
+    'efficientdet_lite0': (_build_effdet, None),
 }
 
 DEFAULT_MODEL = 'ssd_mobilenet_v2'
@@ -81,12 +94,14 @@ def save_weights(params, model_path, name):
 
 def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None):
     """Build a detector, adopting stored weights when present."""
-    config = MODEL_REGISTRY.get(name, SSDConfig())
+    builder, config = MODEL_REGISTRY.get(name,
+                                         (build_detector, SSDConfig()))
+    if config is None and name.startswith('efficientdet_'):
+        config = _effdet_config(name.split('_', 1)[1])
     params = load_weights(model_path, name)
     if params is None:
         _LOGGER.warning(
             "No weights for '%s' under %s — using random initialization "
             "(fine for benchmarks/synthetic shapes, not for real cameras)",
             name, model_path)
-    detector = build_detector(config, rng=rng, params=params)
-    return detector
+    return builder(config, rng=rng, params=params)

@@ -80,6 +80,43 @@ class InferenceTime:
         return total / n if n else 0.0
 
 
+class LatencyMeter:
+    """Sliding window of latency samples with percentile readout (the
+    north-star frame->detection p50 rides on this; the reference exposes
+    only average inference ms, SURVEY.md §5-tracing)."""
+
+    def __init__(self, capacity=256):
+        self._capacity = capacity
+        self._lock = threading.Lock()
+        self._samples = []
+        self._index = 0
+
+    def __call__(self, ms):
+        with self._lock:
+            if len(self._samples) < self._capacity:
+                self._samples.append(ms)
+            else:
+                self._samples[self._index] = ms
+                self._index = (self._index + 1) % self._capacity
+
+
+    def percentile(self, q):
+        with self._lock:
+            if not self._samples:
+                return 0.0
+            ordered = sorted(self._samples)
+        k = min(int(len(ordered) * q / 100.0), len(ordered) - 1)
+        return ordered[k]
+
+    @property
+    def p50(self):
+        return self.percentile(50)
+
+    @property
+    def p95(self):
+        return self.percentile(95)
+
+
 class RateLimiter:
     """Token-bucket limiter for decoder throttling (MQTT ``FPS = n``
     command). ``allow()`` consumes a token when limited; ``unlimited()``

@@ -44,13 +44,20 @@ class Task:
     def initialize(self):
         assert self._thread is None or not self._thread.is_alive(), \
             "{} has not terminated yet".format(self.name)
+        self._spin_done = False
         self._thread = threading.Thread(
             name=self.name, target=self._run, daemon=self._daemon)
+
+    def _end_spin(self):
+        """End this spin WITHOUT marking the task shut down: the thread
+        exits, and the watchdog will re-initialize and restart it (the
+        decoder's EOF -> reconnect loop uses this)."""
+        self._spin_done = True
 
     def _run(self):
         try:
             self._on_start()
-            while not self.stop_event.is_set():
+            while not self.stop_event.is_set() and not self._spin_done:
                 self._process()
         except Exception:
             self._logger.exception('Spin failure')
