@@ -123,6 +123,12 @@ def test_snapshot_after_detection(app_url):
                 .format(last_status))
 
 
+def test_profiler_endpoint(app_url):
+    import os
+    body = json.loads(_get(app_url + '/profiler?seconds=0.2', timeout=15))
+    assert os.path.isdir(body['trace_dir'])
+
+
 def test_unknown_camera_404(app_url):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(app_url + '/video/mjpeg/nope')

@@ -1,0 +1,46 @@
+"""Optional end-to-end ML integration: train the tiny shape SSD on the
+synthetic dataset, persist it through the zoo, and detect a shape with the
+REAL JAX detector (no analytic fixture). The reference gates its analog on
+a pre-trained model existing (/root/reference test strategy, SURVEY.md §4);
+here it is gated on WATSOR_SLOW_TESTS=1 because training takes ~3 min on
+this host's single CPU core."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get('WATSOR_SLOW_TESTS') != '1',
+    reason='set WATSOR_SLOW_TESTS=1 to run the training integration test')
+
+
+def test_train_save_load_detect(tmp_path):
+    import jax.numpy as jnp
+
+    from watsor_tpu.models.ssd import build_detector
+    from watsor_tpu.models.zoo import load_weights
+    from watsor_tpu.ops.boxes import iou_matrix
+    from watsor_tpu.testing.prepare import (SHAPE_MODEL, make_shape_config,
+                                            prepare_shape_model)
+    from watsor_tpu.testing.shapes import SHAPE_LABELS
+
+    model_dir = str(tmp_path)
+    path, loss = prepare_shape_model(model_dir, steps=150, batch=16)
+    assert os.path.exists(path)
+    assert np.isfinite(loss)
+
+    params = load_weights(model_dir, SHAPE_MODEL)
+    assert params is not None
+    det = build_detector(make_shape_config(), params=params)
+
+    img = np.full((1, 96, 96, 3), 255, np.uint8)
+    img[0, 20:70, 25:75] = 0           # a big rectangle
+    out = det.detect_batch(det.params, jnp.asarray(img))
+    assert int(out.valid[0]) >= 1, 'nothing detected after training'
+    top_class = int(out.classes[0][0])
+    assert top_class == SHAPE_LABELS['rectangle'], \
+        'top detection is class {} not rectangle'.format(top_class)
+    gt = jnp.asarray([[20 / 96, 25 / 96, 70 / 96, 75 / 96]])
+    iou = float(iou_matrix(out.boxes[0][:1], gt)[0, 0])
+    assert iou > 0.3, 'top box IoU {:.2f} too low'.format(iou)

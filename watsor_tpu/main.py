@@ -309,6 +309,8 @@ class Application:
             elif path == '/metrics':
                 response = Response(json.dumps(self._metrics(), indent=2),
                                     mimetype='application/json')
+            elif path == '/profiler':
+                response = self._profiler_response(request)
             elif path.startswith('/snapshot/'):
                 response = self._snapshot_response(path)
             elif path.startswith('/video/mjpeg/'):
@@ -321,6 +323,28 @@ class Application:
             _LOGGER.exception('HTTP handler error for %s', path)
             response = Response('Internal error', status=500)
         return response(environ, start_response)
+
+    def _profiler_response(self, request):
+        """GET /profiler?seconds=N — capture a JAX device trace (XLA ops,
+        transfers, fusion timing) viewable in TensorBoard/Perfetto. The
+        reference has no tracer (SURVEY.md §5); this surfaces the per-stage
+        device timing the FPS meters can't see."""
+        import tempfile
+        import time as time_module
+
+        from werkzeug.wrappers import Response
+
+        import jax
+
+        seconds = min(float(request.args.get('seconds', 2)), 10.0)
+        trace_dir = os.path.join(self._args.log_path or tempfile.gettempdir(),
+                                 'watsor-trace-{}'.format(int(time_module.time())))
+        jax.profiler.start_trace(trace_dir)
+        time_module.sleep(seconds)
+        jax.profiler.stop_trace()
+        return Response(json.dumps({'trace_dir': trace_dir,
+                                    'seconds': seconds}),
+                        mimetype='application/json')
 
     def _snapshot_response(self, path):
         from werkzeug.wrappers import Response
