@@ -1,0 +1,106 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh: sharded fleet
+detection (including through the FleetBackend + ObjectDetector task) and
+the sharded training step."""
+
+import threading
+from queue import Queue
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from watsor_tpu.detection.backend import FleetBackend
+from watsor_tpu.detection.detector import ObjectDetector
+from watsor_tpu.models.ssd import SSDConfig
+from watsor_tpu.parallel.fleet import FleetDetector, make_sharded_train_step
+from watsor_tpu.parallel.mesh import make_mesh, param_shardings
+from watsor_tpu.runtime.channel import balanced_queue_group
+from watsor_tpu.runtime.frames import FrameBuffer
+
+TINY = SSDConfig(num_classes=3, input_size=96, width_multiplier=0.35,
+                 extra_features=(32, 32, 32, 32), dtype=jnp.float32)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 virtual devices')
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    return make_mesh(8, model_parallel=2)
+
+
+@pytest.fixture(scope='module')
+def fleet(mesh):
+    return FleetDetector(mesh, TINY, rng=jax.random.PRNGKey(0))
+
+
+def test_head_kernels_sharded_over_model_axis(mesh, fleet):
+    shardings = param_shardings(mesh, fleet.detector.params)
+    leaves = jax.tree_util.tree_leaves_with_path(shardings)
+    sharded = [p for p, s in leaves
+               if 'box_head' in jax.tree_util.keystr(p) and
+               'model' in str(s.spec)]
+    assert sharded, 'no head kernel sharded over the model axis'
+
+
+def test_fleet_detect_shards_batch(mesh, fleet):
+    frames = np.random.RandomState(0).randint(0, 255, (8, 96, 96, 3),
+                                              np.uint8)
+    out = fleet.detect(frames)
+    assert out.boxes.shape == (8, TINY.max_detections, 4)
+    # the output really is sharded over the data axis
+    assert 'data' in str(out.boxes.sharding.spec) or \
+        out.boxes.sharding.is_fully_replicated is False
+
+
+def test_fleet_backend_pads_and_truncates(fleet):
+    backend = FleetBackend(fleet)
+    frames = np.random.RandomState(1).randint(0, 255, (3, 96, 96, 3),
+                                              np.uint8)
+    boxes, scores, classes, valid, ms = backend.detect_batch(frames)
+    assert boxes.shape[0] == 3
+    assert ms > 0
+
+
+def test_fleet_backend_through_detector_task(fleet):
+    stop = threading.Event()
+    buffers = {'cam1': FrameBuffer(4, 96, 96)}
+    queues = balanced_queue_group(['cam1'], maxsize=2)
+    detector = ObjectDetector('det-fleet', queues['cam1'], buffers,
+                              FleetBackend(fleet), stop_event=stop)
+    sink = Queue(4)
+
+    from watsor_tpu.runtime.frames import State
+    frame = buffers['cam1'].frames[0]
+    frame.image[:] = 128
+    frame.stamp()
+    # one confirmation (the detector's) gates DETECT -> PUBLISH here; the
+    # publisher's half of the protocol is not part of this rig
+    frame.latch.next(1)
+    from watsor_tpu.runtime.tasks import Payload
+    queues['cam1'].put(Payload('cam1', 0))
+
+    detector.start()
+    try:
+        assert frame.latch.wait(State.PUBLISH, 30), \
+            'detector never confirmed the frame'
+    finally:
+        stop.set()
+        detector.join(5)
+
+
+def test_sharded_train_step_runs(mesh):
+    state, step, shard_batch = make_sharded_train_step(mesh, TINY)
+    rng = np.random.RandomState(0)
+    batch = shard_batch({
+        'images': rng.randint(0, 255, (8, 96, 96, 3)).astype(np.uint8),
+        'gt_boxes': np.tile(np.array([[0.2, 0.2, 0.6, 0.6]], np.float32),
+                            (8, 2, 1)),
+        'gt_labels': np.ones((8, 2), np.int32),
+        'gt_valid': np.ones((8, 2), bool),
+    })
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 1

@@ -48,6 +48,56 @@ class DetectorBackend:
         return False
 
 
+class FleetBackend(DetectorBackend):
+    """Sharded multi-chip detection: ONE step whose batch axis spans every
+    chip of a mesh (watsor_tpu/parallel/fleet.py). The batch pads up to a
+    multiple of the data-axis size so each chip gets an equal shard.
+
+    Contrast with the reference's scale-out (one detector process per
+    accelerator pulling single frames, detection/detector.py:40-50): here
+    GSPMD splits one program across ICI and the pipeline sees a single,
+    larger detector.
+    """
+
+    def __init__(self, fleet, max_batch=64):
+        self._fleet = fleet
+        self._max_batch = max_batch
+        self._lock = threading.Lock()
+        mesh = fleet.mesh
+        self._data_size = mesh.shape.get('data', 1)
+        self.device_name = 'TPU MESH {}'.format(
+            dict(zip(mesh.axis_names, mesh.devices.shape)))
+        size = fleet.config.input_size
+        self.input_hw = (size, size)
+
+    def warmup(self, hw=None, batch=None):
+        h, w = hw if hw is not None else self.input_hw
+        batch = batch or self._data_size
+        n = max(_bucket(batch), self._data_size)
+        n = ((n + self._data_size - 1) // self._data_size) * self._data_size
+        self.detect_batch(np.zeros((n, h, w, 3), np.uint8))
+
+    def detect_batch(self, images_u8):
+        import jax
+
+        n = images_u8.shape[0]
+        target = max(_bucket(min(n, self._max_batch)), self._data_size)
+        target = ((target + self._data_size - 1) // self._data_size) * \
+            self._data_size
+        if n < target:
+            pad = np.zeros((target - n,) + images_u8.shape[1:], np.uint8)
+            images_u8 = np.concatenate([images_u8, pad], axis=0)
+        with self._lock:
+            start = perf_counter()
+            out = jax.block_until_ready(self._fleet.detect(images_u8))
+            device_ms = (perf_counter() - start) * 1000.0
+        return (np.asarray(out.boxes[:n], np.float32),
+                np.asarray(out.scores[:n], np.float32),
+                np.asarray(out.classes[:n], np.int32),
+                np.asarray(out.valid[:n], np.int32),
+                device_ms)
+
+
 class JaxDetectorBackend(DetectorBackend):
     """All-JAX detection: one jitted fused step (device resize + normalize +
     SSD forward + box decode + class-aware NMS) pinned to one device.

@@ -207,13 +207,30 @@ class Application:
         from watsor_tpu.detection import create_object_detectors
 
         backend_factory = self._backend_factory
+        buffers = {c.name: c.buffer_in for c in self._cameras}
+        if backend_factory is None and \
+                os.environ.get('WATSOR_FLEET') == '1':
+            # one sharded step spanning every chip (SPMD over the mesh)
+            # instead of one detector task per chip
+            import jax
+            from watsor_tpu.detection.backend import FleetBackend
+            from watsor_tpu.detection.detector import ObjectDetector
+            from watsor_tpu.models.zoo import DEFAULT_MODEL, MODEL_REGISTRY
+            from watsor_tpu.parallel.fleet import FleetDetector
+            from watsor_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+            _, config = MODEL_REGISTRY[DEFAULT_MODEL]
+            fleet = FleetDetector(mesh, config)
+            any_queue = next(iter(queues.values()))
+            self._detectors = [ObjectDetector(
+                'detector-fleet', any_queue, buffers, FleetBackend(fleet))]
+            return
         if backend_factory is None:
             from watsor_tpu.detection import JaxDetectorBackend
             from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
             detector = build_from_zoo(DEFAULT_MODEL, self._args.model_path)
             backend_factory = \
                 lambda device: JaxDetectorBackend(detector, device)
-        buffers = {c.name: c.buffer_in for c in self._cameras}
         self._detectors = create_object_detectors(queues, buffers,
                                                   backend_factory)
 
