@@ -1,0 +1,140 @@
+"""Full-graph application integration: two synthetic cameras, MQTT wired
+to the in-process broker, a broadcast encoder with the MPEG-TS endpoint —
+the composition root's complete per-camera graph under one HTTP server."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from watsor_tpu.io import native
+from watsor_tpu.main import Application, _parse_commandline_arguments
+from watsor_tpu.testing.broker import MiniBroker
+from watsor_tpu.testing.shapes import ShapeDetectorBackend
+
+CONFIG = """
+http:
+  port: {port}
+mqtt:
+  host: 127.0.0.1
+  port: {mqtt_port}
+cameras:
+  - cam_a:
+      width: 160
+      height: 120
+      input: synthetic://shapes
+      detect:
+        - person: {{confidence: 10, area: 1}}
+        - car: {{confidence: 10, area: 1}}
+      ffmpeg:
+        decoder: [-i, -f, rawvideo, -pix_fmt, rgb24]
+        encoder: [-f, rawvideo, -pix_fmt, rgb24, -i, -f, mpegts]
+  - cam_b:
+      width: 160
+      height: 120
+      input: synthetic://shapes
+      detect:
+        - bicycle: {{confidence: 10, area: 1}}
+      ffmpeg:
+        decoder: [-i, -f, rawvideo, -pix_fmt, rgb24]
+"""
+
+
+@pytest.fixture(scope='module')
+def rig(tmp_path_factory):
+    import socket
+    sock = socket.socket()
+    sock.bind(('127.0.0.1', 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    broker = MiniBroker()
+    config_file = tmp_path_factory.mktemp('cfg') / 'config.yaml'
+    config_file.write_text(CONFIG.format(port=port, mqtt_port=broker.port))
+
+    args = _parse_commandline_arguments(['-c', str(config_file)])
+    app = Application(args, backend_factory=lambda device:
+                      ShapeDetectorBackend((120, 160)))
+    thread = threading.Thread(target=app.run, daemon=True)
+    thread.start()
+
+    url = 'http://127.0.0.1:{}'.format(port)
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(url + '/health', timeout=1)
+            break
+        except Exception:
+            time.sleep(0.2)
+    else:
+        pytest.fail('application did not come up')
+    yield url, broker, app
+    app._stop_main.set()
+    thread.join(20)
+    broker.close()
+
+
+def _get(url, timeout=5):
+    with urllib.request.urlopen(url, timeout=timeout) as response:
+        return response.read()
+
+
+def test_both_cameras_listed(rig):
+    url, broker, app = rig
+    metrics = json.loads(_get(url + '/metrics'))
+    assert set(metrics['cameras']) == {'cam_a', 'cam_b'}
+
+
+def test_mqtt_availability_and_states_flow(rig):
+    url, broker, app = rig
+    assert broker.wait_for(
+        lambda t, p: t == 'watsor/cameras/cam_a/available'
+        and p == b'online', timeout=10)
+    assert broker.wait_for(
+        lambda t, p: t == 'watsor/cameras/cam_b/available'
+        and p == b'online', timeout=10)
+    # shapes map to person/bicycle/car; cam_a watches person+car
+    assert broker.wait_for(
+        lambda t, p: t.startswith('watsor/cameras/cam_a/detection/')
+        and t.endswith('/state') and p == b'ON', timeout=20)
+    assert broker.wait_for(
+        lambda t, p: t == 'watsor/cameras/cam_a/sensor'
+        and b'fps_in' in p, timeout=10)
+
+
+def test_mqtt_fps_command_reaches_decoder(rig):
+    url, broker, app = rig
+    assert broker.wait_subscribed('watsor/cameras/cam_a/command', timeout=10)
+    broker.publish('watsor/cameras/cam_a/command', 'FPS = 4')
+    camera = app._camera_by_name('cam_a')
+    deadline = time.time() + 5
+    while camera.decoder.rate_limiter.rate != 4 and time.time() < deadline:
+        time.sleep(0.05)
+    assert camera.decoder.rate_limiter.rate == 4
+    broker.publish('watsor/cameras/cam_a/command', 'FPS = 0')
+    # restore
+    deadline = time.time() + 5
+    while camera.decoder.rate_limiter.rate != 0 and time.time() < deadline:
+        time.sleep(0.05)
+    camera.rate_limiter.unlimited()
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason='native video runtime unavailable')
+def test_mpegts_endpoint_streams(rig):
+    url, broker, app = rig
+    request = urllib.request.urlopen(url + '/video/mpegts/cam_a',
+                                     timeout=15)
+    data = request.read(188 * 8)
+    request.close()
+    assert len(data) >= 188
+    assert data[0] == 0x47, 'not an MPEG-TS stream'
+
+
+def test_mpegts_missing_for_camera_without_encoder(rig):
+    url, broker, app = rig
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(url + '/video/mpegts/cam_b')
+    assert err.value.code == 404
