@@ -40,6 +40,7 @@ class EfficientDetConfig(NamedTuple):
     score_threshold: float = 0.005
     max_detections: int = 100
     box_coder_scales: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    nms_mode: str = 'fused'
     dtype: Any = jnp.bfloat16
 
     @property
@@ -287,7 +288,8 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
             boxes, scores,
             iou_threshold=cfg.iou_threshold,
             score_threshold=cfg.score_threshold,
-            max_detections=cfg.max_detections)
+            max_detections=cfg.max_detections,
+            mode=cfg.nms_mode)
         from watsor_tpu.models.ssd import DetectionsBatch
         return DetectionsBatch(b, s, c, v)
 

@@ -35,6 +35,9 @@ class SSDConfig(NamedTuple):
     iou_threshold: float = 0.6
     score_threshold: float = 0.005
     max_detections: int = 100
+    # 'fused' = gather-free union NMS (the TPU fast path, ~4.5x quicker
+    # post stage); 'exact' = classic per-class greedy (parity reference)
+    nms_mode: str = 'fused'
     dtype: Any = jnp.bfloat16
 
 
@@ -138,7 +141,8 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
             boxes, scores,
             iou_threshold=cfg.iou_threshold,
             score_threshold=cfg.score_threshold,
-            max_detections=cfg.max_detections)
+            max_detections=cfg.max_detections,
+            mode=cfg.nms_mode)
         return DetectionsBatch(b, s, c, v)
 
     return Detector(model, cfg, params, anchors, detect_batch, raw_apply)

@@ -62,6 +62,76 @@ def _fast_keep(iou, iou_threshold):
     return max_prev <= iou_threshold
 
 
+@partial(jax.jit, static_argnames=('max_detections', 'union_m'))
+def batched_class_aware_nms_fused(boxes, scores,
+                                  iou_threshold=0.6,
+                                  score_threshold=0.005,
+                                  max_detections=100,
+                                  union_m=128):
+    """Gather-free class-aware NMS (the TPU fast path).
+
+    The top_k/suppression math of the classic formulation is nearly free on
+    TPU; what costs milliseconds is gathering per-class candidate boxes
+    ([B, C, k] indices into [B, A, 4] — measured 5+ ms of a 6.6 ms post
+    stage at B=32). This formulation never builds per-class box sets:
+
+      1. one class-AGNOSTIC candidate union: top ``union_m`` anchors by
+         max-class score (a single small gather);
+      2. one shared IoU matrix [B, M, M] over the union;
+      3. suppression for ALL classes at once: candidate i of class c is
+         kept unless a higher-scoring same-class candidate overlaps it
+         (Fast-NMS semantics) — an elementwise compare broadcast over
+         [B, C, M, M] that XLA fuses straight into the reduction, so the
+         4-D tensor never hits HBM;
+      4. final top-k over [B, C*M]; boxes come from the union by one tiny
+         gather, classes by integer arithmetic (no gather at all).
+
+    Returns the same (boxes, scores, classes, valid) contract as
+    :func:`batched_class_aware_nms`.
+    """
+    B, A, C = scores.shape
+    M = min(union_m, A)
+
+    # 1. class-agnostic candidate union
+    best_score = jnp.max(scores, axis=-1)                    # [B, A]
+    _, union_idx = jax.lax.top_k(best_score, M)              # [B, M]
+    union_boxes = jnp.take_along_axis(boxes, union_idx[..., None], axis=1)
+    union_scores = jnp.take_along_axis(scores, union_idx[..., None], axis=1)
+    # -> [B, M, C] ; transpose to class-major for the suppression broadcast
+    s = jnp.transpose(union_scores, (0, 2, 1))               # [B, C, M]
+
+    # 2. one shared IoU matrix
+    iou = iou_matrix(union_boxes, union_boxes)               # [B, M, M]
+    overlap = (iou > iou_threshold)[:, None, :, :]           # [B, 1, M, M]
+
+    # 3. all-class suppression, fused compare+reduce (j = suppressor)
+    idx = jnp.arange(M)
+    higher = (s[:, :, :, None] > s[:, :, None, :]) | \
+        ((s[:, :, :, None] == s[:, :, None, :]) &
+         (idx[None, None, :, None] < idx[None, None, None, :]))
+    suppressed = jnp.any(higher & overlap, axis=2)           # [B, C, M]
+    kept = jnp.where(~suppressed & (s > score_threshold), s, 0.0)
+
+    # 4. merge classes
+    flat = kept.reshape(B, C * M)
+    n_out = min(max_detections, C * M)
+    out_scores, out_idx = jax.lax.top_k(flat, n_out)         # [B, n_out]
+    box_idx = out_idx % M
+    out_classes = (out_idx // M + 1).astype(jnp.int32)
+    out_boxes = jnp.take_along_axis(union_boxes, box_idx[..., None], axis=1)
+
+    valid_mask = out_scores > 0.0
+    out_classes = jnp.where(valid_mask, out_classes, 0)
+    out_boxes = jnp.where(valid_mask[..., None], out_boxes, 0.0)
+    valid = jnp.sum(valid_mask.astype(jnp.int32), axis=-1)
+    if n_out < max_detections:
+        pad = max_detections - n_out
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
+        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
+    return out_boxes, out_scores, out_classes, valid
+
+
 @partial(jax.jit, static_argnames=('max_detections', 'per_class_k', 'mode'))
 def batched_class_aware_nms(boxes, scores,
                             iou_threshold=0.6,
@@ -83,6 +153,12 @@ def batched_class_aware_nms(boxes, scores,
                                           offset (edge_tpu.py:49).
       valid      [B]                      int32 count of real detections.
     """
+    if mode == 'fused':
+        return batched_class_aware_nms_fused(
+            boxes, scores, iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
+            max_detections=max_detections)
+
     B, A, C = scores.shape
     k = min(per_class_k, A)
 
