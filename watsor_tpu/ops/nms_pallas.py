@@ -3,12 +3,14 @@
 The XLA formulation (ops/nms.py) materializes the [B, C, K, K] IoU tensor
 in HBM and serializes the whole batch on each of the K suppression steps.
 This kernel gives each (batch, class) pair its own grid program: the K×K
-IoU matrix lives entirely in VMEM, the greedy loop runs locally, and
-programs parallelize across the grid — HBM traffic drops to the candidate
-boxes/scores in and the surviving scores out.
+IoU matrix lives entirely in a VMEM scratch buffer, the greedy loop runs
+locally with dynamic row reads on the *ref* (dynamic slicing of values is
+not lowerable on TPU — refs are, pallas_guide.md §Memory Access), and
+programs parallelize across the grid.
 
-Layout notes (pallas_guide.md): K is padded to 128 (lane width); boxes ride
-as [4, K] so the lane dimension is the long one; iota is 2-D.
+Note: the production post stage uses the gather-free 'fused' formulation
+(ops/nms.py batched_class_aware_nms_fused) — this kernel accelerates the
+EXACT greedy semantics for parity-critical uses.
 """
 
 from functools import partial
@@ -21,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _suppress_kernel(boxes_ref, scores_ref, out_ref, *, k, iou_threshold):
+def _suppress_kernel(boxes_ref, scores_ref, out_ref, iou_ref, keep_ref, *,
+                     k, iou_threshold):
     """One (batch, class) candidate set: boxes [1, 4, K], scores [1, 1, K]
     sorted descending -> surviving scores [1, 1, K] (suppressed = 0)."""
     ymin = boxes_ref[0, 0:1, :]                   # [1, K]
@@ -29,7 +32,7 @@ def _suppress_kernel(boxes_ref, scores_ref, out_ref, *, k, iou_threshold):
     ymax = boxes_ref[0, 2:3, :]
     xmax = boxes_ref[0, 3:4, :]
 
-    # pairwise IoU in VMEM: rows i (higher-scored), cols j
+    # pairwise IoU into VMEM scratch: rows i (higher-scored), cols j
     inter_ymin = jnp.maximum(ymin.T, ymin)        # [K, K]
     inter_xmin = jnp.maximum(xmin.T, xmin)
     inter_ymax = jnp.minimum(ymax.T, ymax)
@@ -38,19 +41,24 @@ def _suppress_kernel(boxes_ref, scores_ref, out_ref, *, k, iou_threshold):
         jnp.maximum(inter_xmax - inter_xmin, 0.0)
     area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)
     union = area.T + area - inter
-    iou = inter / jnp.maximum(union, 1e-8)
+    iou_ref[:, :] = inter / jnp.maximum(union, 1e-8)
+    keep_ref[:, :] = jnp.ones_like(keep_ref)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, iou.shape[1]), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, iou_ref.shape[1]), 1)
 
-    def body(i, keep):
-        iou_i = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)   # [1, K]
-        keep_i = jax.lax.dynamic_slice_in_dim(keep, i, 1, axis=1)  # [1, 1]
-        suppress = (iou_i > iou_threshold) & (col > i) & keep_i
-        return keep & jnp.logical_not(suppress)
+    def body(i, carry):
+        iou_i = iou_ref[pl.ds(i, 1), :]           # [1, K] ref row read
+        keep_row = keep_ref[0:1, :]
+        # lane dimension can't be dynamically indexed on TPU; extract
+        # keep[i] with a masked reduction instead
+        keep_i = jnp.max(jnp.where(col == i, keep_row, 0.0))
+        suppress = (iou_i > iou_threshold) & (col > i) & (keep_i > 0.5)
+        keep_ref[0:1, :] = jnp.where(suppress, 0.0, keep_row)
+        return carry
 
-    keep = jnp.ones((1, iou.shape[1]), dtype=jnp.bool_)
-    keep = jax.lax.fori_loop(0, k, body, keep)
-    out_ref[0, :, :] = jnp.where(keep, scores_ref[0, :, :], 0.0)
+    jax.lax.fori_loop(0, k, body, 0)
+    out_ref[0, :, :] = jnp.where(keep_ref[0:1, :] > 0.5,
+                                 scores_ref[0, :, :], 0.0)
 
 
 @partial(jax.jit, static_argnames=('iou_threshold', 'interpret'))
@@ -78,6 +86,10 @@ def _pallas_suppress_impl(top_boxes, top_scores, iou_threshold, interpret):
         out_specs=pl.BlockSpec((1, 1, k_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * C, 1, k_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, k_pad), jnp.float32),   # IoU matrix
+            pltpu.VMEM((1, k_pad), jnp.float32),       # keep mask
+        ],
         interpret=interpret,
     )(boxes_t, scores)
     return out.reshape(B, C, k_pad)[:, :, :K]
