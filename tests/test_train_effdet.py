@@ -1,0 +1,45 @@
+"""The generic training step drives the EfficientDet family too (anchors +
+box-coder scales swapped in)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from watsor_tpu.models.efficientdet import (EfficientDet,
+                                            EfficientDetConfig,
+                                            effdet_anchors)
+from watsor_tpu.models.train import (init_train_state, make_optimizer,
+                                     make_train_step)
+
+TINY = EfficientDetConfig(num_classes=3, variant='lite0', input_size=128,
+                          fpn_channels=16, fpn_repeats=1, head_repeats=1,
+                          dtype=jnp.float32)
+
+
+def test_effdet_train_step_decreases_loss():
+    model = EfficientDet(TINY)
+    tx = make_optimizer(learning_rate=5e-3)
+    state = init_train_state(TINY, jax.random.PRNGKey(0), tx, model=model)
+    step = jax.jit(make_train_step(
+        TINY, tx, model=model, anchors=effdet_anchors(TINY),
+        box_coder_scales=TINY.box_coder_scales))
+
+    rng = np.random.RandomState(0)
+    images = np.full((2, 128, 128, 3), 255, np.uint8)
+    images[:, 30:90, 30:90] = 0
+    batch = {
+        'images': jnp.asarray(images),
+        'gt_boxes': jnp.asarray(np.tile(
+            np.array([[30 / 128, 30 / 128, 90 / 128, 90 / 128]],
+                     np.float32), (2, 1, 1))),
+        'gt_labels': jnp.asarray(np.full((2, 1), 3, np.int32)),
+        'gt_valid': jnp.asarray(np.ones((2, 1), bool)),
+    }
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics['loss']))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert float(metrics['num_positive']) >= 1.0

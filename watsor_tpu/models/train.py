@@ -37,8 +37,9 @@ def make_optimizer(learning_rate=1e-3, weight_decay=1e-5):
     return optax.adamw(learning_rate, weight_decay=weight_decay)
 
 
-def init_train_state(config: SSDConfig, rng, tx) -> TrainState:
-    model = SSD(config)
+def init_train_state(config, rng, tx, model=None) -> TrainState:
+    if model is None:
+        model = SSD(config)
     dummy = jnp.zeros((1, config.input_size, config.input_size, 3),
                       config.dtype)
     variables = model.init(rng, dummy, train=True)
@@ -46,7 +47,7 @@ def init_train_state(config: SSDConfig, rng, tx) -> TrainState:
                       jnp.zeros((), jnp.int32))
 
 
-def _match_anchors(anchors, gt_boxes, gt_labels, gt_valid):
+def _match_anchors(anchors, coder_scales, gt_boxes, gt_labels, gt_valid):
     """Per-image anchor matching. gt_boxes [G, 4] normalized, gt_labels [G]
     (1-based), gt_valid [G] bool -> (cls_targets [A], box_targets [A, 4],
     positive [A])."""
@@ -56,7 +57,8 @@ def _match_anchors(anchors, gt_boxes, gt_labels, gt_valid):
     best_iou = jnp.max(iou, axis=1)
     positive = best_iou >= MATCH_IOU
     cls_targets = jnp.where(positive, gt_labels[best_gt], 0)
-    box_targets = encode_boxes(gt_boxes[best_gt], anchors)
+    box_targets = encode_boxes(gt_boxes[best_gt], anchors,
+                               scales=coder_scales)
     return cls_targets, box_targets, positive
 
 
@@ -68,8 +70,15 @@ def _focal_loss(logits, targets_onehot, alpha=0.25, gamma=2.0):
     return alpha_t * ((1.0 - p_t) ** gamma) * ce
 
 
-def make_train_step(config: SSDConfig, tx):
+def make_train_step(config, tx, model=None, anchors=None,
+                    box_coder_scales=None):
     """Returns a jittable ``step(state, batch) -> (state, metrics)``.
+
+    Works for every detector family sharing the (box_encodings, logits)
+    head contract: defaults build the SSD from ``config``; pass
+    ``model``/``anchors``/``box_coder_scales`` explicitly for
+    EfficientDet (models/efficientdet.py: EfficientDet(cfg),
+    effdet_anchors(cfg), cfg.box_coder_scales).
 
     batch: dict with
       images    [B, H, W, 3] uint8 (resized on device to the model input)
@@ -77,8 +86,14 @@ def make_train_step(config: SSDConfig, tx):
       gt_labels [B, G] int32 1-based
       gt_valid  [B, G] bool
     """
-    model = SSD(config)
-    anchors = jnp.asarray(anchors_for(config))
+    if model is None:
+        model = SSD(config)
+    if anchors is None:
+        anchors = anchors_for(config)
+    anchors = jnp.asarray(anchors)
+    if box_coder_scales is None:
+        box_coder_scales = getattr(config, 'box_coder_scales', None) or \
+            (10.0, 10.0, 5.0, 5.0)
     num_cls = config.num_classes + 1
 
     def loss_fn(variables, batch):
@@ -88,7 +103,7 @@ def make_train_step(config: SSDConfig, tx):
         box_enc, logits = model.apply(variables, x, train=False)
 
         cls_t, box_t, positive = jax.vmap(
-            partial(_match_anchors, anchors))(
+            partial(_match_anchors, anchors, box_coder_scales))(
                 batch['gt_boxes'], batch['gt_labels'], batch['gt_valid'])
 
         onehot = jax.nn.one_hot(cls_t, num_cls)

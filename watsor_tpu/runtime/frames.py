@@ -210,7 +210,6 @@ class FrameBuffer:
             detect_views = [self.detect_arena[i] for i in range(size)]
         self.frames = [Frame(self.arena[i], detect_view=detect_views[i])
                        for i in range(size)]
-        self._stale_logged = 0.0
 
     def __len__(self):
         return len(self.frames)
