@@ -31,9 +31,9 @@ def clip(tmp_path):
     """A 40-frame clip with a moving black rectangle."""
     path = str(tmp_path / 'clip.mp4')
     with native.Encoder(path, W, H, fps=25.0) as enc:
-        for i in range(40):
+        for i in range(60):
             img = np.full((H, W, 3), 255, np.uint8)
-            x = 10 + i * 2
+            x = 10 + i
             img[30:90, x:x + 50] = 0
             enc.write(img)
     return path
@@ -46,8 +46,10 @@ def test_decode_detect_count(clip):
     buffer = FrameBuffer(10, W, H, detect_hw=DETECT_HW)
     queues = balanced_queue_group(['cam'], maxsize=2)
 
+    # realtime pacing: a depth-1 subscriber queue misses most frames of an
+    # unpaced decode burst (latest-frame-wins), so play at native 25 fps
     decoder = VideoDecoder('cam', queues['cam'], buffer, clip,
-                           stop_event=stop, realtime=False)
+                           stop_event=stop, realtime=True)
     detector = ObjectDetector('det', queues['cam'], {'cam': buffer},
                               ShapeDetectorBackend(DETECT_HW),
                               stop_event=stop, max_batch=4)

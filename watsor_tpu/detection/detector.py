@@ -19,7 +19,7 @@ from typing import Dict
 
 import numpy as np
 
-from time import time
+from time import monotonic, time
 
 from watsor_tpu.runtime.frames import DETECTION_DTYPE, MAX_DETECTIONS
 from watsor_tpu.runtime.meters import FramesPerSecond, InferenceTime, \
@@ -33,11 +33,16 @@ class ObjectDetector(Task):
     and scatters results into the frame headers."""
 
     def __init__(self, name, frame_queue, frame_buffers: Dict[str, object],
-                 backend, stop_event=None, max_batch=32):
+                 backend, stop_event=None, max_batch=32,
+                 batch_window_ms=4.0):
         self.frame_buffers = frame_buffers
         self.frame_queue = frame_queue
         self._backend = backend
         self._max_batch = max_batch
+        # after the first frame arrives, keep gathering for up to this long
+        # so concurrent cameras land in ONE device step (bounded latency
+        # cost, large MXU utilization win — SURVEY.md §7 hard-part 2)
+        self._batch_window = batch_window_ms / 1000.0
         h, w = backend.input_hw
         self._staging = np.zeros((max_batch, h, w, 3), np.uint8)
         self.fps = FramesPerSecond()
@@ -64,11 +69,18 @@ class ObjectDetector(Task):
         except Empty:
             return
         payloads = [payload]
+        deadline = monotonic() + self._batch_window
         while len(payloads) < self._max_batch:
             try:
                 payloads.append(self.frame_queue.get_nowait())
             except Empty:
-                break
+                remaining = deadline - monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    payloads.append(self.frame_queue.get(timeout=remaining))
+                except Empty:
+                    break
         self._detect(payloads)
 
     def _stage(self, index, frame):
@@ -140,10 +152,14 @@ def create_object_detectors(frame_queue_group, frame_buffers, backend_factory,
     assert len(devices) > 0, "No devices available for detection"
 
     any_queue = next(iter(frame_queue_group.values()))
+    # the gather window only pays off when several cameras can land in one
+    # batch; a single camera should never wait
+    window_ms = 4.0 if len(frame_buffers) > 1 else 0.0
     detectors = []
     for i, device in enumerate(devices):
         backend = backend_factory(device)
         detectors.append(ObjectDetector(
             'detector{}'.format(i + 1), any_queue, frame_buffers, backend,
-            stop_event=stop_event, max_batch=max_batch))
+            stop_event=stop_event, max_batch=max_batch,
+            batch_window_ms=window_ms))
     return detectors

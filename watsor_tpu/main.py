@@ -71,6 +71,7 @@ class Application:
         self._watchdog = WatchDog()
         self._http_server = None
         self._http_config = {}
+        self._jpeg_caches = {}
         # injectable for tests: device -> DetectorBackend (the reference's
         # analog is swapping in the analytic shape detector, SURVEY.md §4)
         self._backend_factory = backend_factory
@@ -378,12 +379,19 @@ class Application:
 
     def _mjpeg_response(self, path):
         from werkzeug.wrappers import Response
-        from watsor_tpu.output.http_stream import MotionJpeg
+        from watsor_tpu.output.http_stream import MotionJpeg, _JpegCache, \
+            default_jpeg_encode
         camera = self._camera_by_name(path.rsplit('/', 1)[-1])
         if camera is None:
             return Response('Unknown camera', status=404)
+        # ONE JPEG cache per camera shared by all viewers: each frame is
+        # encoded once regardless of viewer count (the reference's shared
+        # epoch-keyed cache, output/video.py:120-132)
+        cache = self._jpeg_caches.setdefault(
+            camera.name, _JpegCache(default_jpeg_encode))
         stream = MotionJpeg(camera.name + '-mjpeg', camera.visual_effects,
-                            camera.buffer_out, stop_event=self._stop_main)
+                            camera.buffer_out, jpeg_cache=cache,
+                            stop_event=self._stop_main)
         response = Response(iter(stream), mimetype=stream.mime_type)
         response.call_on_close(stream.close)
         return response
