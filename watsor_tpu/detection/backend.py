@@ -35,10 +35,12 @@ class DetectorBackend:
     device_name = 'unknown'
     input_hw: Tuple[int, int] = (300, 300)
 
-    def detect_batch(self, images_u8: np.ndarray):
+    def detect_batch(self, images_u8: np.ndarray, senders=None):
         """images_u8: [B, H, W, 3] -> (boxes [B,N,4] normalized float32,
         scores [B,N] float32, classes [B,N] int32 1-based, valid [B] int32,
-        device_ms float)."""
+        device_ms float[, zones_hit [B,N,Z] bool when the backend filters
+        on device]). ``senders`` optionally names the camera of each row so
+        per-camera filter tables can apply."""
         raise NotImplementedError
 
     def __enter__(self):
@@ -77,7 +79,7 @@ class FleetBackend(DetectorBackend):
         n = ((n + self._data_size - 1) // self._data_size) * self._data_size
         self.detect_batch(np.zeros((n, h, w, 3), np.uint8))
 
-    def detect_batch(self, images_u8):
+    def detect_batch(self, images_u8, senders=None):
         import jax
 
         n = images_u8.shape[0]
@@ -107,7 +109,8 @@ class JaxDetectorBackend(DetectorBackend):
     recompilation (static shapes are an XLA requirement, SURVEY.md §7).
     """
 
-    def __init__(self, detector, device=None, max_batch=32):
+    def __init__(self, detector, device=None, max_batch=32,
+                 camera_tables=None):
         import jax
 
         self._detector = detector
@@ -119,6 +122,11 @@ class JaxDetectorBackend(DetectorBackend):
         cfg = detector.config
         self.input_hw = (cfg.input_size, cfg.input_size)
         self._params = jax.device_put(detector.params, self._device)
+        # optional fused filtering: camera -> (conf[L], area[L], zone_sat,
+        # zone_allow) device tables (ops/filter_device.py); when set, the
+        # confidence/area/zone cascade runs ON DEVICE right after NMS and
+        # the result carries zone hits
+        self._camera_tables = camera_tables or None
 
     def warmup(self, hw: Optional[Tuple[int, int]] = None, batch: int = 1):
         """Compile the step for one (batch, resolution) combination ahead of
@@ -128,7 +136,7 @@ class JaxDetectorBackend(DetectorBackend):
         dummy = np.zeros((_bucket(batch), h, w, 3), np.uint8)
         self.detect_batch(dummy)
 
-    def detect_batch(self, images_u8: np.ndarray):
+    def detect_batch(self, images_u8: np.ndarray, senders=None):
         import jax
 
         n = images_u8.shape[0]
@@ -136,14 +144,33 @@ class JaxDetectorBackend(DetectorBackend):
         if n < b:
             pad = np.zeros((b - n,) + images_u8.shape[1:], np.uint8)
             images_u8 = np.concatenate([images_u8, pad], axis=0)
+
+        filter_tables = None
+        if self._camera_tables is not None and senders is not None:
+            rows = [self._camera_tables[s] for s in senders]
+            rows += [rows[0]] * (b - n)   # pad rows reuse any tables
+            filter_tables = tuple(
+                np.stack([r[i] for r in rows]) for i in range(4))
+
         with self._lock:
             start = perf_counter()
             x = jax.device_put(images_u8, self._device)
             out = self._detector.detect_batch(self._params, x)
+            zones_hit = None
+            if filter_tables is not None:
+                from watsor_tpu.ops.filter_device import apply_filters_device
+                scores_f, classes_f, zones_hit, valid_f = \
+                    apply_filters_device(out.boxes, out.scores, out.classes,
+                                         *filter_tables)
+                out = out._replace(scores=scores_f, classes=classes_f,
+                                   valid=valid_f)
             out = jax.block_until_ready(out)
             device_ms = (perf_counter() - start) * 1000.0
         boxes = np.asarray(out.boxes[:n], np.float32)
         scores = np.asarray(out.scores[:n], np.float32)
         classes = np.asarray(out.classes[:n], np.int32)
         valid = np.asarray(out.valid[:n], np.int32)
+        if zones_hit is not None:
+            return boxes, scores, classes, valid, device_ms, \
+                np.asarray(zones_hit[:n])
         return boxes, scores, classes, valid, device_ms

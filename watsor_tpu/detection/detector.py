@@ -101,33 +101,48 @@ class ObjectDetector(Task):
 
     def _detect(self, payloads):
         frames = []
+        senders = []
         for p in payloads:
             frame = self.frame_buffers[p.sender].frames[p.frame_index]
             self._stage(len(frames), frame)
             frames.append(frame)
+            senders.append(p.sender)
 
         try:
-            boxes, scores, classes, valid, device_ms = \
-                self._backend.detect_batch(self._staging[:len(frames)])
+            result = self._backend.detect_batch(self._staging[:len(frames)],
+                                                senders=senders)
         except Exception:
             self._logger.exception('Detection step failed')
             for frame in frames:
                 frame.latch.next()
             return
+        boxes, scores, classes, valid, device_ms = result[:5]
+        zones_hit = result[5] if len(result) > 5 else None
 
         per_frame_ms = device_ms / len(frames)
         now = time()
         for i, frame in enumerate(frames):
             if frame.epoch > 0:
                 self.latency((now - frame.epoch) * 1000.0)
-            n = min(int(valid[i]), MAX_DETECTIONS)
+            if zones_hit is None:
+                n = min(int(valid[i]), MAX_DETECTIONS)
+                rows = np.arange(n)
+            else:
+                # device-filtered: kept rows are flagged, not compacted
+                rows = np.nonzero(scores[i] > 0.0)[0][:MAX_DETECTIONS]
+                n = len(rows)
             records = np.zeros(n, DETECTION_DTYPE)
             if n:
                 fh, fw = frame.image.shape[:2]
-                px = boxes[i, :n] * np.array([fh, fw, fh, fw], np.float32)
-                records['label'] = classes[i, :n]
-                records['confidence'] = scores[i, :n]
+                px = boxes[i, rows] * np.array([fh, fw, fh, fw], np.float32)
+                records['label'] = classes[i, rows]
+                records['confidence'] = scores[i, rows]
                 records['bbox'] = px
+                if zones_hit is not None:
+                    for j, row in enumerate(rows):
+                        zones = np.nonzero(zones_hit[i, row])[0][:10] + 1
+                        records['zones'][j, :len(zones)] = zones
+                        records['num_zones'][j] = len(zones)
             frame.set_detections(records)
             frame.latch.next()
             self.fps(True)

@@ -72,6 +72,7 @@ class Application:
         self._http_server = None
         self._http_config = {}
         self._jpeg_caches = {}
+        self._camera_tables = {}
         # injectable for tests: device -> DetectorBackend (the reference's
         # analog is swapping in the analytic shape detector, SURVEY.md §4)
         self._backend_factory = backend_factory
@@ -83,10 +84,20 @@ class Application:
                            os.path.dirname(os.path.abspath(self._args.config)))
         return config
 
+    @property
+    def _device_filters(self):
+        """Confidence/area/zone filtering fused into the device step (the
+        TPU-first design, SURVEY.md §7 stage 6). WATSOR_DEVICE_FILTERS=0
+        reverts to the host cascade (exact reference semantics; zones are
+        evaluated at full resolution instead of the device's 96x96 grid).
+        Only applies to the JAX backend — injected test backends always use
+        the host cascade."""
+        return os.environ.get('WATSOR_DEVICE_FILTERS', '1') != '0' and \
+            self._backend_factory is None
+
     def _create_filters(self, camera_name, camera_config, rate_limiter):
         from watsor_tpu.filters import (AreaFilter, ConfidenceFilter,
-                                        DetectionSieve, MaskFilter,
-                                        TrackFilter, ZoneMask)
+                                        MaskFilter, TrackFilter, ZoneMask)
         detect_config = camera_config['detect']
         chain = [ConfidenceFilter(detect_config), AreaFilter(detect_config)]
         zone_mask = None
@@ -99,6 +110,10 @@ class Application:
             zone_mask = ZoneMask(alpha, (camera_config['height'],
                                          camera_config['width']))
             chain.append(MaskFilter(detect_config, zone_mask))
+        if self._device_filters:
+            # cascade runs on device inside the detection step; the sieve
+            # keeps only the (stateful, host-side) tracker
+            chain = []
         track = TrackFilter(chain)
         return track, zone_mask
 
@@ -160,6 +175,12 @@ class Application:
 
         track, zone_mask = self._create_filters(camera_name, camera_config,
                                                 rate_limiter)
+        if self._device_filters:
+            from watsor_tpu.ops.filter_device import threshold_tables, \
+                zone_tables
+            conf, area = threshold_tables(camera_config['detect'])
+            zs, za = zone_tables(zone_mask, camera_config['detect'])
+            self._camera_tables[camera_name] = (conf, area, zs, za)
         sieve_queue = Queue(1)
         sieve = DetectionSieve(camera_name + '-sieve', sieve_queue, buffer_in,
                                track, rate_limiter)
@@ -230,8 +251,10 @@ class Application:
             from watsor_tpu.detection import JaxDetectorBackend
             from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
             detector = build_from_zoo(DEFAULT_MODEL, self._args.model_path)
+            tables = self._camera_tables if self._device_filters else None
             backend_factory = \
-                lambda device: JaxDetectorBackend(detector, device)
+                lambda device: JaxDetectorBackend(detector, device,
+                                                  camera_tables=tables)
         self._detectors = create_object_detectors(queues, buffers,
                                                   backend_factory)
 

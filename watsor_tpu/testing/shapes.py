@@ -130,7 +130,7 @@ class ShapeDetectorBackend(DetectorBackend):
                         (y / h, x / w, (y + bh) / h, (x + bw) / w)))
         return out
 
-    def detect_batch(self, images_u8):
+    def detect_batch(self, images_u8, senders=None):
         n = images_u8.shape[0]
         boxes = np.zeros((n, MAX_DETECTIONS, 4), np.float32)
         scores = np.zeros((n, MAX_DETECTIONS), np.float32)
