@@ -50,6 +50,9 @@ def _parse_commandline_arguments(argv=None):
     parser.add_argument('-m', '--model-path', default=os.environ.get(
         'MODEL_PATH', '/usr/share/watsor/model'),
         help='directory with detection model weights')
+    parser.add_argument('--model', default=os.environ.get('WATSOR_MODEL'),
+                        help='detection model from the zoo '
+                             '(ssd_mobilenet_v2, efficientdet_lite0, ...)')
     parser.add_argument('--log-path', default=os.environ.get('LOG_PATH'),
                         help='directory for rotated log files')
     parser.add_argument('--log-level',
@@ -61,7 +64,7 @@ def _parse_commandline_arguments(argv=None):
 class Application:
     """Builds and runs the whole graph from a validated config."""
 
-    DETECT_SIZE = 300  # model input resolution (detect planes in the arena)
+    DETECT_SIZE = 300  # fallback detect-plane size (overridden per model)
 
     def __init__(self, args=None, backend_factory=None):
         self._args = args or _parse_commandline_arguments()
@@ -220,6 +223,18 @@ class Application:
         camera_names = [next(iter(c)) for c in config['cameras']]
         queues = balanced_queue_group(camera_names, maxsize=len(camera_names))
 
+        # build the model FIRST so the detect-plane resolution in every
+        # camera's arena matches the model input (zero host resize)
+        detector = None
+        model_name = None
+        if self._backend_factory is None:
+            from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
+            model_name = getattr(self._args, 'model', None) or DEFAULT_MODEL
+            detector = build_from_zoo(model_name, self._args.model_path)
+            self.DETECT_SIZE = detector.config.input_size
+            _LOGGER.info('Detection model: %s (input %dx%d)', model_name,
+                         self.DETECT_SIZE, self.DETECT_SIZE)
+
         for camera in config['cameras']:
             camera_name = next(iter(camera))
             self._cameras.append(self._setup_camera(
@@ -234,23 +249,18 @@ class Application:
                 os.environ.get('WATSOR_FLEET') == '1':
             # one sharded step spanning every chip (SPMD over the mesh)
             # instead of one detector task per chip
-            import jax
             from watsor_tpu.detection.backend import FleetBackend
             from watsor_tpu.detection.detector import ObjectDetector
-            from watsor_tpu.models.zoo import DEFAULT_MODEL, MODEL_REGISTRY
             from watsor_tpu.parallel.fleet import FleetDetector
             from watsor_tpu.parallel.mesh import make_mesh
             mesh = make_mesh()
-            _, config = MODEL_REGISTRY[DEFAULT_MODEL]
-            fleet = FleetDetector(mesh, config)
+            fleet = FleetDetector(mesh, detector.config)
             any_queue = next(iter(queues.values()))
             self._detectors = [ObjectDetector(
                 'detector-fleet', any_queue, buffers, FleetBackend(fleet))]
             return
         if backend_factory is None:
             from watsor_tpu.detection import JaxDetectorBackend
-            from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
-            detector = build_from_zoo(DEFAULT_MODEL, self._args.model_path)
             tables = self._camera_tables if self._device_filters else None
             backend_factory = \
                 lambda device: JaxDetectorBackend(detector, device,
