@@ -1,0 +1,25 @@
+# Developer entry points (the reference ships the same make targets).
+
+PYTHON ?= python
+
+.PHONY: all native test coverage bench clean
+
+all: native
+
+native:
+	$(MAKE) -C watsor_tpu/native
+
+test: native
+	$(PYTHON) -m pytest tests/ -x -q
+
+coverage: native
+	$(PYTHON) -m pytest tests/ -q --cov=watsor_tpu --cov-report=term-missing \
+	  || $(PYTHON) -m pytest tests/ -q
+
+bench: native
+	$(PYTHON) bench.py
+
+clean:
+	$(MAKE) -C watsor_tpu/native clean
+	rm -rf .pytest_cache .jit_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +
