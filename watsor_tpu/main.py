@@ -127,6 +127,15 @@ class Application:
         if zone_mask is not None:
             return [CopyHeaderEffect(), CopyImageEffect(),
                     BlendEffect(zone_mask), DrawEffectWithContours(zone_mask)]
+        if os.environ.get('WATSOR_DEVICE_RENDER') == '1':
+            # box geometry renders on device, batched across every camera
+            # that shares this renderer (fleet-scale broadcast path)
+            from watsor_tpu.output.device_render import DeviceDrawEffect, \
+                DeviceRenderer
+            if not hasattr(self, '_device_renderer'):
+                self._device_renderer = DeviceRenderer()
+            return [CopyHeaderEffect(), CopyImageEffect(),
+                    DeviceDrawEffect(self._device_renderer)]
         return [CopyHeaderEffect(), CopyImageEffect(), DrawEffect()]
 
     def _create_decoder(self, camera_name, camera_config, frame_queue,
