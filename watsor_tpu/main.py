@@ -237,12 +237,24 @@ class Application:
         detector = None
         model_name = None
         if self._backend_factory is None:
+            from watsor_tpu.config.coco import coco_label_index
             from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
             model_name = getattr(self._args, 'model', None) or DEFAULT_MODEL
-            detector = build_from_zoo(model_name, self._args.model_path)
+            # the post-processing class axis only carries the union of
+            # watched classes across cameras (e.g. 2 instead of 90)
+            watched = set()
+            for camera in config['cameras']:
+                camera_config = camera[next(iter(camera))]
+                for entry in camera_config['detect']:
+                    label = coco_label_index(next(iter(entry)))
+                    if label:
+                        watched.add(label)
+            detector = build_from_zoo(model_name, self._args.model_path,
+                                      active_labels=watched or None)
             self.DETECT_SIZE = detector.config.input_size
-            _LOGGER.info('Detection model: %s (input %dx%d)', model_name,
-                         self.DETECT_SIZE, self.DETECT_SIZE)
+            _LOGGER.info('Detection model: %s (input %dx%d, %s classes)',
+                         model_name, self.DETECT_SIZE, self.DETECT_SIZE,
+                         len(watched) if watched else 'all')
 
         for camera in config['cameras']:
             camera_name = next(iter(camera))

@@ -38,6 +38,10 @@ class SSDConfig(NamedTuple):
     # 'fused' = gather-free union NMS (the TPU fast path, ~4.5x quicker
     # post stage); 'exact' = classic per-class greedy (parity reference)
     nms_mode: str = 'fused'
+    # restrict post-processing to these 1-based labels (None = all): a
+    # deployment watching {person, car} pays for 2 classes, not 90 —
+    # the config's detect lists define this set (main.py wires it)
+    active_labels: Any = None
     dtype: Any = jnp.bfloat16
 
 
@@ -129,6 +133,12 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
     def raw_apply(p, images_f):
         return model.apply(p, images_f, train=False)
 
+    active = None
+    if cfg.active_labels is not None:
+        active = jnp.asarray(sorted(set(int(l) for l in cfg.active_labels
+                                        if 0 < int(l) <= cfg.num_classes)),
+                             jnp.int32)
+
     @jax.jit
     def detect_batch(p, images_u8):
         x = resize_bilinear_mxu(images_u8, cfg.input_size, cfg.input_size,
@@ -136,13 +146,21 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
         x = (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
         box_enc, logits = model.apply(p, x, train=False)
         boxes = decode_boxes(box_enc, anchors_dev)
-        scores = jax.nn.sigmoid(logits[..., 1:])     # drop background
+        if active is not None:
+            # slice the head to the watched classes: the NMS class axis
+            # shrinks from num_classes to len(active)
+            scores = jax.nn.sigmoid(logits[..., active])
+        else:
+            scores = jax.nn.sigmoid(logits[..., 1:])  # drop background
         b, s, c, v = batched_class_aware_nms(
             boxes, scores,
             iou_threshold=cfg.iou_threshold,
             score_threshold=cfg.score_threshold,
             max_detections=cfg.max_detections,
             mode=cfg.nms_mode)
+        if active is not None:
+            # map compacted class indices back to 1-based COCO labels
+            c = jnp.where(c > 0, active[jnp.maximum(c - 1, 0)], 0)
         return DetectionsBatch(b, s, c, v)
 
     return Detector(model, cfg, params, anchors, detect_batch, raw_apply)

@@ -92,12 +92,19 @@ def save_weights(params, model_path, name):
     return msgpack_file
 
 
-def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None):
-    """Build a detector, adopting stored weights when present."""
+def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
+                   active_labels=None):
+    """Build a detector, adopting stored weights when present.
+
+    ``active_labels``: restrict post-processing to these 1-based labels
+    (the union of every camera's watched classes) — the NMS class axis
+    shrinks accordingly."""
     builder, config = MODEL_REGISTRY.get(name,
                                          (build_detector, SSDConfig()))
     if config is None and name.startswith('efficientdet_'):
         config = _effdet_config(name.split('_', 1)[1])
+    if active_labels and hasattr(config, 'active_labels'):
+        config = config._replace(active_labels=tuple(sorted(active_labels)))
     params = load_weights(model_path, name)
     if params is None:
         _LOGGER.warning(
