@@ -41,6 +41,7 @@ class EfficientDetConfig(NamedTuple):
     max_detections: int = 100
     box_coder_scales: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     nms_mode: str = 'fused'
+    active_labels: Any = None      # restrict post-processing (see SSDConfig)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -271,6 +272,11 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
         dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), cfg.dtype)
         params = model.init(rng, dummy, train=False)
     anchors_dev = jnp.asarray(effdet_anchors(cfg))
+    active = None
+    if cfg.active_labels is not None:
+        active = jnp.asarray(sorted(set(int(l) for l in cfg.active_labels
+                                        if 0 < int(l) <= cfg.num_classes)),
+                             jnp.int32)
 
     def raw_apply(p, images_f):
         return model.apply(p, images_f, train=False)
@@ -283,13 +289,18 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
         box_enc, logits = model.apply(p, x, train=False)
         boxes = decode_boxes(box_enc, anchors_dev,
                              scales=cfg.box_coder_scales)
-        scores = jax.nn.sigmoid(logits[..., 1:])
+        if active is not None:
+            scores = jax.nn.sigmoid(logits[..., active])
+        else:
+            scores = jax.nn.sigmoid(logits[..., 1:])
         b, s, c, v = batched_class_aware_nms(
             boxes, scores,
             iou_threshold=cfg.iou_threshold,
             score_threshold=cfg.score_threshold,
             max_detections=cfg.max_detections,
             mode=cfg.nms_mode)
+        if active is not None:
+            c = jnp.where(c > 0, active[jnp.maximum(c - 1, 0)], 0)
         from watsor_tpu.models.ssd import DetectionsBatch
         return DetectionsBatch(b, s, c, v)
 
