@@ -188,8 +188,7 @@ class MiniBroker:
                     with lock:
                         conn.sendall(bytes([0xD0, 0]))
                 elif packet_type == 0xE0:     # DISCONNECT
-                    will = None
-                    entry = (conn, subs, None, lock)
+                    will = None               # clean close: no LWT
                     break
         except (ConnectionError, AssertionError, OSError):
             pass
