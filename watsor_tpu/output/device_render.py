@@ -15,6 +15,7 @@ together.
 
 import threading
 from queue import Empty, Queue
+from time import monotonic
 
 import numpy as np
 
@@ -91,11 +92,9 @@ class DeviceRenderer:
             except Empty:
                 continue
             batch = [first]
-            end = self._window
-            import time as time_module
-            t0 = time_module.monotonic()
+            t0 = monotonic()
             while len(batch) < self._max_batch:
-                remaining = end - (time_module.monotonic() - t0)
+                remaining = self._window - (monotonic() - t0)
                 if remaining <= 0:
                     break
                 try:
