@@ -96,11 +96,13 @@ def make_train_step(config, tx, model=None, anchors=None,
             (10.0, 10.0, 5.0, 5.0)
     num_cls = config.num_classes + 1
 
-    def loss_fn(variables, batch):
+    def loss_fn(params, batch_stats, batch):
         x = resize_bilinear_mxu(batch['images'], config.input_size,
                                 config.input_size, dtype=jnp.float32)
         x = (x * (2.0 / 255.0) - 1.0).astype(config.dtype)
-        box_enc, logits = model.apply(variables, x, train=False)
+        (box_enc, logits), mutated = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, x, train=True,
+            mutable=['batch_stats'])
 
         cls_t, box_t, positive = jax.vmap(
             partial(_match_anchors, anchors, box_coder_scales))(
@@ -112,19 +114,23 @@ def make_train_step(config, tx, model=None, anchors=None,
         num_pos = jnp.maximum(positive.sum(), 1.0)
         total = (cls_loss.sum() +
                  jnp.where(positive, box_loss, 0.0).sum()) / num_pos
-        return total, {'cls_loss': cls_loss.sum() / num_pos,
-                       'box_loss': jnp.where(positive, box_loss, 0.0).sum()
-                       / num_pos,
-                       'num_positive': num_pos}
+        return total, ({'cls_loss': cls_loss.sum() / num_pos,
+                        'box_loss': jnp.where(positive, box_loss, 0.0).sum()
+                        / num_pos,
+                        'num_positive': num_pos},
+                       mutated['batch_stats'])
 
     def step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, metrics), grads = grad_fn(state.params, batch)
-        updates, opt_state = tx.update(grads['params'],
-                                       state.opt_state, state.params['params'])
-        params = dict(state.params)
-        params['params'] = optax.apply_updates(state.params['params'],
-                                               updates)
+        (loss, (metrics, batch_stats)), grads = grad_fn(
+            state.params['params'], state.params.get('batch_stats', {}),
+            batch)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params['params'])
+        params = {
+            'params': optax.apply_updates(state.params['params'], updates),
+            'batch_stats': batch_stats,   # BN running stats track training
+        }
         metrics = dict(metrics, loss=loss)
         return TrainState(params, opt_state, state.step + 1), metrics
 
