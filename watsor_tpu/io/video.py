@@ -19,6 +19,8 @@ event, 'ON' clears it and the watchdog resurrects it
 import logging
 import os
 
+import numpy as np
+
 from watsor_tpu.io import native
 from watsor_tpu.runtime.frames import FrameBuffer
 from watsor_tpu.runtime.meters import FramesPerSecond, RateLimiter
@@ -221,7 +223,7 @@ class VideoEncoder(WorkPublish, Publish):
                 self._ts_last_index = index
                 slot = ring.buffer.frames[index]
                 flat = slot.image.reshape(-1)
-                flat[:len(data)] = bytearray(data)
+                flat[:len(data)] = np.frombuffer(data, np.uint8)
                 ring.lengths[index] = len(data)
                 slot.stamp()
                 slot.latch.next()
