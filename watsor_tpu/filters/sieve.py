@@ -9,7 +9,9 @@ limit when suspicious activity appears so detection never misses the
 action.
 """
 
-from watsor_tpu.runtime.meters import FramesPerSecond
+from time import time
+
+from watsor_tpu.runtime.meters import FramesPerSecond, LatencyMeter
 from watsor_tpu.runtime.tasks import WorkPassthroughPublish
 
 
@@ -20,6 +22,10 @@ class DetectionSieve(WorkPassthroughPublish):
         self._track_filter = track_filter
         self._rate_limiter = rate_limiter
         self.fps = FramesPerSecond()
+        # frame capture -> filtered detections published (the camera's
+        # end-to-end analysis latency; detector latency covers only the
+        # device step share)
+        self.latency = LatencyMeter()
         super().__init__(name, frame_queue, frame_buffer, stop_event)
 
     def _incoming_frame(self, frame):
@@ -29,4 +35,6 @@ class DetectionSieve(WorkPassthroughPublish):
             # action in view: remove any MQTT-imposed FPS cap immediately
             self._rate_limiter.unlimited()
         frame.set_detections(kept)
+        if frame.epoch > 0:
+            self.latency((time() - frame.epoch) * 1000.0)
         self.fps(True)

@@ -317,7 +317,8 @@ class Application:
         for c in self._cameras:
             cameras[c.name] = {
                 'decoder': {'fps': round(c.decoder.fps.fps, 1)},
-                'sieve': {'fps': round(c.sieve.fps.fps, 1)},
+                'sieve': {'fps': round(c.sieve.fps.fps, 1),
+                          'latency_ms_p50': round(c.sieve.latency.p50, 1)},
                 'visual_effects': {'fps': round(c.visual_effects.fps.fps, 1)},
                 'snapshot': {'fps': round(c.snapshot.fps.fps, 1)},
                 'encoder': {'fps': round(c.encoder.fps.fps, 1)}
