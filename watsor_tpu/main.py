@@ -251,6 +251,22 @@ class Application:
                         watched.add(label)
             detector = build_from_zoo(model_name, self._args.model_path,
                                       active_labels=watched or None)
+            if os.environ.get('WATSOR_QUANTIZE') == 'int8' and \
+                    model_name.startswith('ssd_'):
+                # int8 weights in HBM, dequant fused into the step (the
+                # EdgeTPU-parity efficiency mode, models/quantize.py)
+                from watsor_tpu.models.quantize import quantize_params, \
+                    dequantize_params
+                import jax as _jax
+                q_params = quantize_params(detector.params)
+                inner = detector.detect_batch
+                dtype = detector.config.dtype
+                quantized_step = _jax.jit(
+                    lambda qp, images: inner(dequantize_params(qp, dtype),
+                                             images))
+                detector = detector._replace(params=q_params,
+                                             detect_batch=quantized_step)
+                _LOGGER.info('Weights quantized to int8')
             self.DETECT_SIZE = detector.config.input_size
             _LOGGER.info('Detection model: %s (input %dx%d, %s classes)',
                          model_name, self.DETECT_SIZE, self.DETECT_SIZE,
