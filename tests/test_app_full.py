@@ -106,18 +106,21 @@ def test_mqtt_availability_and_states_flow(rig):
 
 def test_mqtt_fps_command_reaches_decoder(rig):
     url, broker, app = rig
-    assert broker.wait_subscribed('watsor/cameras/cam_a/command', timeout=10)
+    assert broker.wait_subscribed('watsor/cameras/cam_a/command', timeout=30)
     broker.publish('watsor/cameras/cam_a/command', 'FPS = 4')
     camera = app._camera_by_name('cam_a')
-    deadline = time.time() + 5
+    # generous deadline: the suite runs on one loaded CPU core, and the
+    # command crosses broker socket -> client thread -> rate limiter
+    deadline = time.time() + 30
     while camera.decoder.rate_limiter.rate != 4 and time.time() < deadline:
         time.sleep(0.05)
     assert camera.decoder.rate_limiter.rate == 4
     broker.publish('watsor/cameras/cam_a/command', 'FPS = 0')
     # restore
-    deadline = time.time() + 5
+    deadline = time.time() + 30
     while camera.decoder.rate_limiter.rate != 0 and time.time() < deadline:
         time.sleep(0.05)
+    assert camera.decoder.rate_limiter.rate == 0
     camera.rate_limiter.unlimited()
 
 

@@ -50,45 +50,68 @@ def _env_interpolate(loader, node):
 
 def _env_var(loader, node):
     """``!env_var NAME default...`` — environment variable with optional
-    default; raises ValueError when unset and no default given."""
-    args = node.value.split()
-    if len(args) > 1:
-        return os.getenv(args[0], " ".join(args[1:]))
-    if args[0] in os.environ:
-        return os.environ[args[0]]
-    raise ValueError(node.value)
+    fallback; the environment wins when the variable is set, otherwise the
+    remainder of the scalar is returned verbatim. Unset + no fallback is a
+    configuration error."""
+    name, _, fallback = node.value.strip().partition(' ')
+    value = os.environ.get(name)
+    if value is not None:
+        return value
+    if fallback:
+        return fallback
+    raise ValueError(
+        'environment variable "{}" is not set and the !env_var tag gave '
+        'no default'.format(name))
 
 
-def _load_secrets_file(filename):
-    if filename in _SECRET_CACHE:
-        return _SECRET_CACHE[filename]
-    try:
-        secrets = _load_yaml(filename)
-        if secrets is None:
-            raise FileNotFoundError()
-        if not isinstance(secrets, dict):
-            raise ValueError("Secrets is not a dictionary")
-    except FileNotFoundError:
-        secrets = {}
+def _read_secrets(filename):
+    """Parse one ``secrets.yaml``, memoized for the duration of a single
+    ``parse()`` call. A missing or empty file yields an empty mapping; a
+    file whose top level is anything but a mapping is a config error."""
+    cached = _SECRET_CACHE.get(filename)
+    if cached is not None:
+        return cached
+    secrets = {}
+    if os.path.isfile(filename):
+        content = _load_yaml(filename)
+        if isinstance(content, dict):
+            secrets = content
+        elif content is not None:
+            raise ValueError(
+                '{} must be a mapping of secret names to values'
+                .format(filename))
     _SECRET_CACHE[filename] = secrets
     return secrets
 
 
-def _secret(loader, node):
-    """``!secret name`` — search ``secrets.yaml`` starting beside the config
-    file and walking up parent directories (HomeAssistant-compatible)."""
-    secret_dir = os.path.dirname(getattr(loader, 'name', '') or '')
+def _candidate_secret_dirs(config_dir):
+    """The config file's directory, then each ancestor — stopping near the
+    filesystem root (a ``secrets.yaml`` in ``/`` was never intended for a
+    camera config) or when the tree ends."""
+    yield config_dir
+    current = config_dir
     while True:
-        filename = os.path.join(secret_dir, SECRETS_YAML)
-        secrets = _load_secrets_file(filename)
-        if node.value in secrets:
-            _LOGGER.debug('Secret "%s" retrieved from %s', node.value, filename)
-            return secrets[node.value]
-        parent = os.path.dirname(secret_dir)
-        if parent == secret_dir or not os.path.exists(parent) or len(parent) < 5:
-            break
-        secret_dir = parent
-    raise ValueError('Secret "{}" not defined'.format(node.value))
+        parent = os.path.dirname(current)
+        if parent == current or len(parent) < 5 or not os.path.exists(parent):
+            return
+        yield parent
+        current = parent
+
+
+def _secret(loader, node):
+    """``!secret name`` — resolved from the nearest ``secrets.yaml`` found
+    beside the config file or in any ancestor directory (HomeAssistant's
+    search order)."""
+    name = node.value
+    config_dir = os.path.dirname(getattr(loader, 'name', '') or '')
+    for directory in _candidate_secret_dirs(config_dir):
+        store = _read_secrets(os.path.join(directory, SECRETS_YAML))
+        if name in store:
+            _LOGGER.debug('Secret "%s" found under %s', name, directory)
+            return store[name]
+    raise ValueError(
+        'secret "{}" is missing from every secrets.yaml on the search '
+        'path'.format(name))
 
 
 class _ConfigLoader(yaml.SafeLoader):

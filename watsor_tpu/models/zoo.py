@@ -93,18 +93,26 @@ def save_weights(params, model_path, name):
 
 
 def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
-                   active_labels=None):
+                   active_labels=None, dtype=None, nms_mode=None):
     """Build a detector, adopting stored weights when present.
 
     ``active_labels``: restrict post-processing to these 1-based labels
     (the union of every camera's watched classes) — the NMS class axis
-    shrinks accordingly."""
+    shrinks accordingly.
+    ``dtype``: override the activation dtype (the reference's
+    ``TRT_FLOAT_PRECISION=32|16`` knob, /root/reference/watsor/engine.py:25-26).
+    ``nms_mode``: 'fused' (gather-free fast path) or 'exact' (greedy
+    per-class parity mode), for configs that support it."""
     builder, config = MODEL_REGISTRY.get(name,
                                          (build_detector, SSDConfig()))
     if config is None and name.startswith('efficientdet_'):
         config = _effdet_config(name.split('_', 1)[1])
     if active_labels and hasattr(config, 'active_labels'):
         config = config._replace(active_labels=tuple(sorted(active_labels)))
+    if dtype is not None and hasattr(config, 'dtype'):
+        config = config._replace(dtype=dtype)
+    if nms_mode is not None and hasattr(config, 'nms_mode'):
+        config = config._replace(nms_mode=nms_mode)
     params = load_weights(model_path, name)
     if params is None:
         _LOGGER.warning(

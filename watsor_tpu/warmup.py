@@ -49,16 +49,11 @@ def main(argv=None):
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
     import jax.numpy as jnp
-    from watsor_tpu.models.ssd import SSDConfig
-    from watsor_tpu.models.zoo import DEFAULT_MODEL, MODEL_REGISTRY, \
-        build_from_zoo
-    from watsor_tpu.models import zoo
+    from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
 
     name = args.model or DEFAULT_MODEL
-    if args.precision == 32 and name in MODEL_REGISTRY:
-        MODEL_REGISTRY[name] = MODEL_REGISTRY[name]._replace(
-            dtype=jnp.float32)
-    detector = build_from_zoo(name, args.model_path)
+    dtype = jnp.float32 if args.precision == 32 else None
+    detector = build_from_zoo(name, args.model_path, dtype=dtype)
 
     size = detector.config.input_size
     for batch in args.batches:
