@@ -12,9 +12,11 @@ the same swscale pass.
 """
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
+from time import sleep
 
 import numpy as np
 
@@ -58,7 +60,7 @@ def load():
         lib.wt_decoder_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
-            ctypes.c_int]
+            ctypes.c_char_p, ctypes.c_int]
         lib.wt_decoder_read.restype = ctypes.c_int
         lib.wt_decoder_read.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -75,7 +77,7 @@ def load():
         lib.wt_encoder_open.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_double, ctypes.c_int64, ctypes.c_char_p,
-            ctypes.c_int]
+            ctypes.c_char_p, ctypes.c_int]
         lib.wt_encoder_write.restype = ctypes.c_int
         lib.wt_encoder_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.wt_encoder_read_bytes.restype = ctypes.c_int
@@ -89,8 +91,66 @@ def load():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int]
         lib.wt_version.restype = ctypes.c_char_p
+        lib.wt_log_install.restype = None
+        lib.wt_log_next.restype = ctypes.c_int
+        lib.wt_log_next.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.wt_log_install()
+        _start_log_pump(lib)
         _lib = lib
         return _lib
+
+
+# -- libav log routing --------------------------------------------------------
+# The reference pumps every ffmpeg stderr line into the central logger
+# (/root/reference/watsor/stream/ffmpeg.py:211-224). The native runtime
+# captures av_log into a ring; this pump drains it into Python logging.
+# AV_LOG_ERROR and below surface at ERROR (rotating file + stderr),
+# AV_LOG_WARNING at WARNING, AV_LOG_INFO at DEBUG (x264/negotiation chatter
+# stays out of the log file unless explicitly enabled).
+
+_LOG = logging.getLogger('watsor_tpu.libav')
+_log_pump_thread = None
+
+_AV_LOG_ERROR = 16
+_AV_LOG_WARNING = 24
+
+
+def drain_logs(lib=None):
+    """Drain every buffered libav message into the logging system now.
+    Returns the number of messages drained (the pump thread calls this
+    periodically; tests and shutdown paths call it directly)."""
+    lib = lib or _lib
+    if lib is None:
+        return 0
+    buf = ctypes.create_string_buffer(1024)
+    count = 0
+    while True:
+        level = lib.wt_log_next(buf, 1024)
+        if level < 0:
+            return count
+        message = buf.value.decode(errors='replace')
+        if level <= _AV_LOG_ERROR:
+            _LOG.error(message)
+        elif level <= _AV_LOG_WARNING:
+            _LOG.warning(message)
+        else:
+            _LOG.debug(message)
+        count += 1
+
+
+def _start_log_pump(lib, interval=0.25):
+    global _log_pump_thread
+    if _log_pump_thread is not None:
+        return
+
+    def pump():
+        while True:
+            drain_logs(lib)
+            sleep(interval)
+
+    _log_pump_thread = threading.Thread(target=pump, name='libav-log-pump',
+                                        daemon=True)
+    _log_pump_thread.start()
 
 
 def available():
@@ -106,15 +166,17 @@ class Decoder:
     into caller-provided numpy buffers (arena slices)."""
 
     def __init__(self, url, width, height, detect_hw=None, options=None,
-                 realtime=False):
+                 realtime=False, input_format=None):
         lib = load()
         errbuf = ctypes.create_string_buffer(512)
         dh, dw = detect_hw if detect_hw else (0, 0)
         self._lib = lib
         self._handle = lib.wt_decoder_open(
             url.encode(), width, height, dw, dh,
-            (options or '').encode(), 1 if realtime else 0, errbuf, 512)
+            (options or '').encode(), 1 if realtime else 0,
+            (input_format or '').encode(), errbuf, 512)
         if not self._handle:
+            drain_logs(lib)  # surface libav's own account of the failure
             raise IOError('decoder open failed for {}: {}'.format(
                 url, errbuf.value.decode(errors='replace')))
 
@@ -164,14 +226,16 @@ class Encoder:
     MPEG-TS byte stream (dest='mem:', format='mpegts') for HTTP broadcast."""
 
     def __init__(self, dest, width, height, fps=30.0, fmt=None, codec=None,
-                 bit_rate=0):
+                 bit_rate=0, options=None):
         lib = load()
         errbuf = ctypes.create_string_buffer(512)
         self._lib = lib
         self._handle = lib.wt_encoder_open(
             dest.encode(), (fmt or '').encode(), (codec or '').encode(),
-            width, height, fps, bit_rate, errbuf, 512)
+            width, height, fps, bit_rate, (options or '').encode(),
+            errbuf, 512)
         if not self._handle:
+            drain_logs(lib)
             raise IOError('encoder open failed for {}: {}'.format(
                 dest, errbuf.value.decode(errors='replace')))
 

@@ -145,25 +145,38 @@ class Application:
             from watsor_tpu.io.synthetic import SyntheticDecoder
             return SyntheticDecoder(camera_name, frame_queue, buffer_in,
                                     rate_limiter=rate_limiter)
-        from watsor_tpu.io.video import VideoDecoder, decoder_options_from_argv
-        options, realtime = decoder_options_from_argv(
-            camera_config['ffmpeg']['decoder'])
+        from watsor_tpu.io.video import VideoDecoder, decoder_args_from_argv
+        args = decoder_args_from_argv(camera_config['ffmpeg']['decoder'])
+        if args.unknown:
+            _LOGGER.warning(
+                'Camera %s: ffmpeg decoder flags not translated by the '
+                'native runtime (ignored): %s', camera_name,
+                ' '.join(args.unknown))
         return VideoDecoder(camera_name, frame_queue, buffer_in, url,
-                            options=options,
-                            realtime=realtime or None,
+                            options=args.options,
+                            realtime=args.realtime or None,
+                            input_format=args.input_format,
                             rate_limiter=rate_limiter)
 
     def _create_encoder(self, camera_name, camera_config, buffer_out,
                         visual_effects):
         if 'encoder' not in camera_config.get('ffmpeg', {}):
             return None
-        from watsor_tpu.io.video import VideoEncoder
+        from watsor_tpu.io.video import VideoEncoder, encoder_args_from_argv
+        args = encoder_args_from_argv(camera_config['ffmpeg']['encoder'])
+        if args.unknown:
+            _LOGGER.warning(
+                'Camera %s: ffmpeg encoder flags not translated by the '
+                'native runtime (ignored): %s', camera_name,
+                ' '.join(args.unknown))
         output_path = camera_config.get('output')
         encoder_queue = Queue(1)
         encoder = VideoEncoder(
             camera_name + '-encoder', encoder_queue, buffer_out,
             camera_config['width'], camera_config['height'],
-            output_path=output_path, broadcast=output_path is None)
+            fps=args.fps or 30.0,
+            output_path=output_path, broadcast=output_path is None,
+            codec=args.codec, bit_rate=args.bit_rate, options=args.options)
         visual_effects.subscribe(encoder_queue)
         return encoder
 

@@ -24,6 +24,7 @@ extern "C" {
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <string>
 #include <vector>
@@ -34,6 +35,41 @@ void set_err(char* errbuf, int errbuf_len, const std::string& msg) {
     if (errbuf && errbuf_len > 0) {
         std::snprintf(errbuf, errbuf_len, "%s", msg.c_str());
     }
+}
+
+// ---------------------------------------------------------------------------
+// libav log capture. The reference pumps every ffmpeg stderr line into its
+// central logger (/root/reference/watsor/stream/ffmpeg.py:211-224) — camera
+// negotiation errors are the #1 operator debugging signal in an NVR. Here
+// av_log is redirected into a bounded ring that Python drains into the
+// logging system (watsor_tpu.io.native installs a pump thread).
+// ---------------------------------------------------------------------------
+
+struct LogEntry {
+    int level;
+    std::string msg;
+};
+
+std::mutex g_log_mutex;
+std::deque<LogEntry> g_log_ring;
+constexpr size_t kLogRingCap = 512;
+
+void wt_log_callback(void* avcl, int level, const char* fmt, va_list vl) {
+    if (level > AV_LOG_INFO) return;  // VERBOSE/DEBUG/TRACE: never buffered
+    char line[1024];
+    static int print_prefix = 1;
+    // av_log_format_line prefixes "[h264 @ 0x...]"-style context, the same
+    // prefix ffmpeg prints on stderr, so operators see familiar messages
+    av_log_format_line(avcl, level, fmt, vl, line, sizeof(line),
+                       &print_prefix);
+    size_t len = std::strlen(line);
+    while (len > 0 && (line[len - 1] == '\n' || line[len - 1] == '\r')) {
+        line[--len] = '\0';
+    }
+    if (len == 0) return;
+    std::lock_guard<std::mutex> lock(g_log_mutex);
+    if (g_log_ring.size() >= kLogRingCap) g_log_ring.pop_front();
+    g_log_ring.push_back({level, std::string(line, len)});
 }
 
 std::string av_errstr(int err) {
@@ -76,8 +112,10 @@ struct WtDecoder {
 extern "C" WtDecoder* wt_decoder_open(const char* url, int out_w, int out_h,
                                       int detect_w, int detect_h,
                                       const char* options, int realtime,
+                                      const char* input_format,
                                       char* errbuf, int errbuf_len) {
     avformat_network_init();
+    av_log_set_callback(wt_log_callback);
     WtDecoder* d = new WtDecoder();
     d->out_w = out_w;
     d->out_h = out_h;
@@ -85,8 +123,20 @@ extern "C" WtDecoder* wt_decoder_open(const char* url, int out_w, int out_h,
     d->detect_h = detect_h;
     d->realtime = realtime != 0;
 
+    // honor `ffmpeg -f <fmt>` input forcing (v4l2 devices, mjpeg streams)
+    const AVInputFormat* ifmt = nullptr;
+    if (input_format && *input_format) {
+        ifmt = av_find_input_format(input_format);
+        if (!ifmt) {
+            set_err(errbuf, errbuf_len,
+                    std::string("unknown input format: ") + input_format);
+            delete d;
+            return nullptr;
+        }
+    }
+
     AVDictionary* dict = parse_options(options);
-    int err = avformat_open_input(&d->fmt, url, nullptr, &dict);
+    int err = avformat_open_input(&d->fmt, url, ifmt, &dict);
     av_dict_free(&dict);
     if (err < 0) {
         set_err(errbuf, errbuf_len, "open_input: " + av_errstr(err));
@@ -112,7 +162,13 @@ extern "C" WtDecoder* wt_decoder_open(const char* url, int out_w, int out_h,
     d->codec = avcodec_alloc_context3(decoder);
     avcodec_parameters_to_context(d->codec, stream->codecpar);
     d->codec->thread_count = 0;  // auto
-    if ((err = avcodec_open2(d->codec, decoder, nullptr)) < 0) {
+    // the same option string feeds the codec too: codec-level AVOptions the
+    // demuxer didn't consume (flags=low_delay, ...) apply here; unknown
+    // leftovers are ignored rather than fatal (ffmpeg CLI behavior)
+    AVDictionary* codec_dict = parse_options(options);
+    err = avcodec_open2(d->codec, decoder, &codec_dict);
+    av_dict_free(&codec_dict);
+    if (err < 0) {
         set_err(errbuf, errbuf_len, "codec open: " + av_errstr(err));
         avcodec_free_context(&d->codec);
         avformat_close_input(&d->fmt);
@@ -259,7 +315,9 @@ static int wt_mem_write(void* opaque, uint8_t* buf, int buf_size) {
 extern "C" WtEncoder* wt_encoder_open(const char* dest, const char* format,
                                       const char* codec_name, int w, int h,
                                       double fps, int64_t bit_rate,
+                                      const char* options,
                                       char* errbuf, int errbuf_len) {
+    av_log_set_callback(wt_log_callback);
     WtEncoder* e = new WtEncoder();
     e->w = w;
     e->h = h;
@@ -296,13 +354,19 @@ extern "C" WtEncoder* wt_encoder_open(const char* dest, const char* format,
     e->codec->gop_size = (int)(fps > 0 ? fps : 30);  // ~1s keyframe interval
     e->codec->max_b_frames = 0;                      // latency-first
     if (codec->id == AV_CODEC_ID_H264) {
+        // latency-first defaults; the user's YAML encoder argv (passed via
+        // `options`) overrides them below, so existing ffmpeg tuning
+        // (preset/profile/tune/crf/g/...) keeps working
         av_opt_set(e->codec->priv_data, "preset", "veryfast", 0);
         av_opt_set(e->codec->priv_data, "tune", "zerolatency", 0);
     }
     if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER) {
         e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     }
-    if ((err = avcodec_open2(e->codec, codec, nullptr)) < 0) {
+    AVDictionary* codec_dict = parse_options(options);
+    err = avcodec_open2(e->codec, codec, &codec_dict);
+    av_dict_free(&codec_dict);
+    if (err < 0) {
         set_err(errbuf, errbuf_len, "codec open: " + av_errstr(err));
         avcodec_free_context(&e->codec);
         avformat_free_context(e->fmt);
@@ -464,6 +528,27 @@ extern "C" int wt_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Log drain: pops one captured libav message into buf. Returns the AV_LOG_*
+// level (>= 0), or -1 when the ring is empty. Installing the callback is
+// idempotent and also exported so Python can capture logs before the first
+// decoder/encoder opens (e.g. open failures themselves).
+// ---------------------------------------------------------------------------
+
+extern "C" void wt_log_install() {
+    av_log_set_callback(wt_log_callback);
+}
+
+extern "C" int wt_log_next(char* buf, int cap) {
+    std::lock_guard<std::mutex> lock(g_log_mutex);
+    if (g_log_ring.empty()) return -1;
+    const LogEntry& entry = g_log_ring.front();
+    std::snprintf(buf, cap, "%s", entry.msg.c_str());
+    int level = entry.level;
+    g_log_ring.pop_front();
+    return level;
+}
+
 extern "C" const char* wt_version() {
-    return "watsor-tpu-native 0.1 (" LIBAVFORMAT_IDENT ")";
+    return "watsor-tpu-native 0.2 (" LIBAVFORMAT_IDENT ")";
 }
