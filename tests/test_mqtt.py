@@ -144,3 +144,68 @@ def test_lwt_offline_on_abnormal_drop(rig):
     assert broker.wait_for(
         lambda t, p: t == PREFIX + '/available' and p == b'offline'), \
         'LWT offline not delivered'
+
+
+def _wait(predicate, timeout=15):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+def test_reconnect_after_connection_drop(rig):
+    """Session resilience (paho parity): a dropped connection must resume
+    — availability re-announced, commands re-subscribed, retained topics
+    re-emitted (/root/reference/watsor/output/mqtt.py:98-112)."""
+    broker, buffer, queue, decoder, stage = rig
+    broker.drop_clients()
+
+    def online_count():
+        return sum(1 for t, p, _ in broker.records
+                   if t == PREFIX + '/available' and p == b'online')
+
+    assert _wait(lambda: online_count() >= 2), 'availability not re-announced'
+    assert broker.wait_subscribed(PREFIX + '/command', timeout=10), \
+        'commands not re-subscribed'
+    assert _wait(lambda: any(t == PREFIX + '/detection/person/state'
+                             for t, p, _ in broker.records)), \
+        'retained class state not re-emitted'
+    # remote control works again over the new session
+    broker.publish(PREFIX + '/command', 'FPS = 9')
+    assert _wait(lambda: decoder.rate_limiter.rate == 9), \
+        'command lost after reconnect'
+
+
+def test_reconnect_after_full_broker_restart():
+    """The broker process dying entirely (connect refused for a while) must
+    not permanently silence the topics — backoff retries until it returns."""
+    broker = MiniBroker()
+    port = broker.port
+    buffer = FrameBuffer(4, 64, 48)
+    queue = Queue(4)
+    decoder = FakeDecoder()
+    stage = MQTT('cam1-mqtt', 'cam1', queue, buffer,
+                 {'host': '127.0.0.1', 'port': port},
+                 ['person'], decoder)
+    decoder.start()
+    stage.start()
+    try:
+        assert broker.wait_for(
+            lambda t, p: t == PREFIX + '/available' and p == b'online')
+        broker.close()
+        time.sleep(0.5)
+        broker2 = MiniBroker(port=port)
+        try:
+            assert broker2.wait_for(
+                lambda t, p: t == PREFIX + '/available' and p == b'online',
+                timeout=25), 'client never returned after broker restart'
+            assert broker2.wait_subscribed(PREFIX + '/command', timeout=10)
+        finally:
+            broker2.close()
+    finally:
+        stage.terminate()
+        decoder.terminate()
+        stage.join(5)
+        decoder.join(5)

@@ -15,11 +15,17 @@ decoder task's stop event (the watchdog then leaves it down), 'ON' clears it
 (the watchdog resurrects it); 'FPS = n' drives the decoder's shared token
 bucket — the same observable semantics as the reference's shared
 Event/RateLimiter across its process boundary (mqtt.py:143-185).
+
+Session resilience: the reference relies on paho's automatic reconnect
+(/root/reference/watsor/output/mqtt.py:98-112 — LWT then resumed
+publishing); here a broker drop flags the session and the stage's own spin
+re-connects with exponential backoff, re-announcing availability,
+re-subscribing commands and re-emitting every retained topic.
 """
 
 import json
 import re
-from time import time
+from time import monotonic, time
 
 from watsor_tpu.config.coco import get_coco_class
 from watsor_tpu.output.mqtt_client import MqttClient, MqttError
@@ -50,6 +56,9 @@ class MQTT(WorkPublish):
         self._last_seen = {c: 0.0 for c in class_names}
         self._reported_on = {c: False for c in class_names}
         self.fps = FramesPerSecond()
+        # reconnect backoff state (session resilience)
+        self._next_attempt = 0.0
+        self._backoff = 1.0
 
         self._client = client_factory(
             client_id='watsor-' + camera_name,
@@ -59,19 +68,61 @@ class MQTT(WorkPublish):
             password=mqtt_config.get('password'),
             will=(self._prefix + '/available', b'offline', True),
             on_message=self._on_message,
+            on_disconnect=self._on_disconnect,
         )
         super().__init__(name, frame_queue, frame_buffer, stop_event)
 
     # -- lifecycle ---------------------------------------------------------
 
     def _on_start(self):
+        self._next_attempt = 0.0
+        self._backoff = 1.0
+        self._ensure_connected()
+
+    def _on_disconnect(self):
+        # called from the client's reader thread on socket loss; the spin
+        # thread performs the actual reconnect (no cross-thread connects)
+        self._logger.warning('MQTT connection lost; will reconnect')
+        self._next_attempt = monotonic() + 1.0
+        self._backoff = 1.0
+
+    def _ensure_connected(self):
+        """Connect (or reconnect with backoff) and re-announce the session:
+        availability, command subscription and every retained topic."""
+        if self._client.connected:
+            return True
+        now = monotonic()
+        if now < self._next_attempt:
+            return False
         try:
             self._client.connect()
+        except (MqttError, OSError):
+            self._next_attempt = now + self._backoff
+            if self._backoff == 1.0:   # log the first failure, then quiet
+                self._logger.exception('MQTT connect failed (retrying, '
+                                       'backoff up to 30 s)')
+            self._backoff = min(self._backoff * 2, 30.0)
+            return False
+        self._backoff = 1.0
+        try:
             self._client.publish(self._prefix + '/available', 'online',
                                  retain=True)
             self._client.subscribe(self._prefix + '/command')
+            # re-emit retained state so the broker's view is fresh even if
+            # it lost its retained store in a restart
+            for class_name, on in self._reported_on.items():
+                topic = '{}/detection/{}/state'.format(self._prefix,
+                                                       class_name)
+                self._client.publish(topic, 'ON' if on else 'OFF',
+                                     retain=True)
+            self._last_sensor = None
+            self._last_camera_state = None
+            self._report_sensor()
+            self._report_camera_state()
         except (MqttError, OSError):
-            self._logger.exception('MQTT connect failed')
+            return False
+        self._logger.info('MQTT connected to %s', self._prefix)
+        return True
 
     def _on_stop(self):
         try:
@@ -108,7 +159,7 @@ class MQTT(WorkPublish):
         finally:
             frame.latch.next()
         self.fps(True)
-        if not self._client.connected:
+        if not self._ensure_connected():
             return
         now = time()
         self._report_states(detections, now)
@@ -119,7 +170,7 @@ class MQTT(WorkPublish):
 
     def _no_frame(self):
         # idle tick: detections may have gone quiet; keep topics fresh
-        if not self._client.connected:
+        if not self._ensure_connected():
             return
         self._report_states([], time())
         self._report_sensor()

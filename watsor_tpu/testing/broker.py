@@ -67,10 +67,10 @@ class MiniBroker:
     """records: list of (topic, payload, retain); publish() injects a
     message toward connected subscribers."""
 
-    def __init__(self):
+    def __init__(self, port=0):
         self._server = socket.socket()
         self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._server.bind(('127.0.0.1', 0))
+        self._server.bind(('127.0.0.1', port))
         self._server.listen(4)
         self.port = self._server.getsockname()[1]
         self.records = []
@@ -83,10 +83,27 @@ class MiniBroker:
     def close(self):
         self._stop = True
         try:
+            # wake the accept thread (a bare close leaves it blocked, which
+            # keeps the kernel listen socket alive and the port unbindable)
+            self._server.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
             self._server.close()
         except OSError:
             pass
+        # shutdown (not just close) so serve threads blocked in recv release
+        # their fds — otherwise the port can't be rebound by a restart
+        self.drop_clients()
+
+    def drop_clients(self):
+        """Forcibly close every client connection (simulates a broker
+        crash/restart from the clients' point of view)."""
         for conn, _, _, _ in list(self._clients):
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
             try:
                 conn.close()
             except OSError:
