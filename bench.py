@@ -82,6 +82,25 @@ def main():
         out = step(params, jax.device_put(host_frames, device))
     jax.block_until_ready(out)
     e2e_fps = BATCH * 5 / (perf_counter() - t0)
+
+    # pipelined e2e: fresh uint8 in -> detections out with H2D overlapping
+    # compute (double-buffered dispatch, the production detector's driving
+    # pattern). On real v5e hosts this approaches the device-resident rate;
+    # through the tunnel it is transfer-bound.
+    from watsor_tpu.detection.backend import JaxDetectorBackend
+    backend = JaxDetectorBackend(detector, device, max_batch=BATCH)
+    staging = [host_frames.copy(), host_frames.copy()]
+    backend.detect_batch(staging[0])          # warm the backend path
+    steps = 10
+    t0 = perf_counter()
+    inflight = None
+    for i in range(steps):
+        handle = backend.dispatch(staging[i % 2])
+        if inflight is not None:
+            backend.resolve(inflight)
+        inflight = handle
+    backend.resolve(inflight)
+    e2e_pipelined_fps = BATCH * steps / (perf_counter() - t0)
     t0 = perf_counter()
     jax.device_put(host_frames, device).block_until_ready()
     h2d_ms = (perf_counter() - t0) * 1000.0
@@ -94,6 +113,7 @@ def main():
         "vs_baseline": round(device_fps / BASELINE_FPS, 2),
         "p50_step_latency_ms": round(p50_ms, 2),
         "e2e_tunnel_fps": round(e2e_fps, 1),
+        "e2e_pipelined_fps": round(e2e_pipelined_fps, 1),
         "h2d_ms": round(h2d_ms, 1),
         "device": str(device),
     }

@@ -1,5 +1,5 @@
-"""HTTP basic auth (reference main.py:165-174 contract: everything behind
-auth except /health) and the MJPEG idle keep-alive."""
+"""HTTP basic auth (reference main.py:155-174 contract: the ENTIRE surface
+is authenticated, /health included) and the MJPEG idle keep-alive."""
 
 import base64
 import threading
@@ -53,6 +53,8 @@ def auth_app(tmp_path_factory):
         try:
             urllib.request.urlopen(url + '/health', timeout=1)
             break
+        except urllib.error.HTTPError:
+            break                      # 401 means the server is up
         except Exception:
             time.sleep(0.2)
     yield url
@@ -60,8 +62,16 @@ def auth_app(tmp_path_factory):
     thread.join(15)
 
 
-def test_health_bypasses_auth(auth_app):
-    with urllib.request.urlopen(auth_app + '/health', timeout=5) as resp:
+def test_health_requires_auth(auth_app):
+    """Reference parity: /health is authenticated like every other route
+    (/root/reference/watsor/main.py:155-165)."""
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(auth_app + '/health', timeout=5)
+    assert err.value.code == 401
+    request = urllib.request.Request(auth_app + '/health')
+    token = base64.b64encode(b'operator:hunter2').decode()
+    request.add_header('Authorization', 'Basic ' + token)
+    with urllib.request.urlopen(request, timeout=5) as resp:
         assert resp.read() == b'UP'
 
 

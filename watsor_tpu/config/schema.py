@@ -74,6 +74,13 @@ schema = {
         },
     },
     'detect': dict(_detect_list(), default=[]),
+    # NMS semantics (watsor_tpu extension; the reference's NMS is baked into
+    # its frozen graphs): 'fused' = Fast-NMS suppression (fastest),
+    # 'fused_exact' = greedy semantics at fused cost (fixed-point iteration),
+    # 'exact' = classic per-class greedy, bit-parity with
+    # tf.image.combined_non_max_suppression.
+    'nms': {'type': 'string', 'default': 'fused_exact',
+            'allowed': ['fused', 'fused_exact', 'exact']},
     'cameras': {
         'type': 'list',
         'required': True,

@@ -136,7 +136,15 @@ class JaxDetectorBackend(DetectorBackend):
         dummy = np.zeros((_bucket(batch), h, w, 3), np.uint8)
         self.detect_batch(dummy)
 
-    def detect_batch(self, images_u8: np.ndarray, senders=None):
+    def dispatch(self, images_u8: np.ndarray, senders=None):
+        """Launch H2D + the fused step WITHOUT blocking: JAX dispatch is
+        asynchronous, so the uint8 transfer and the device step proceed
+        while the caller stages the next batch — the TPU analog of the
+        reference's async memcpy + stream sync
+        (/root/reference/watsor/detection/tensorrt_gpu.py:145-160).
+
+        Returns an opaque handle for :meth:`resolve`. The caller must not
+        mutate ``images_u8`` until resolve returns (double-buffer it)."""
         import jax
 
         n = images_u8.shape[0]
@@ -164,8 +172,16 @@ class JaxDetectorBackend(DetectorBackend):
                                          *filter_tables)
                 out = out._replace(scores=scores_f, classes=classes_f,
                                    valid=valid_f)
-            out = jax.block_until_ready(out)
-            device_ms = (perf_counter() - start) * 1000.0
+        return (out, zones_hit, n, start)
+
+    def resolve(self, handle):
+        """Block until a dispatched step completes; returns the standard
+        detect_batch tuple."""
+        import jax
+
+        out, zones_hit, n, start = handle
+        out = jax.block_until_ready(out)
+        device_ms = (perf_counter() - start) * 1000.0
         boxes = np.asarray(out.boxes[:n], np.float32)
         scores = np.asarray(out.scores[:n], np.float32)
         classes = np.asarray(out.classes[:n], np.int32)
@@ -174,3 +190,6 @@ class JaxDetectorBackend(DetectorBackend):
             return boxes, scores, classes, valid, device_ms, \
                 np.asarray(zones_hit[:n])
         return boxes, scores, classes, valid, device_ms
+
+    def detect_batch(self, images_u8: np.ndarray, senders=None):
+        return self.resolve(self.dispatch(images_u8, senders=senders))

@@ -44,7 +44,13 @@ class ObjectDetector(Task):
         # cost, large MXU utilization win — SURVEY.md §7 hard-part 2)
         self._batch_window = batch_window_ms / 1000.0
         h, w = backend.input_hw
-        self._staging = np.zeros((max_batch, h, w, 3), np.uint8)
+        # two staging buffers, ping-ponged per dispatch: batch N+1 stages
+        # (and starts its H2D) while batch N computes — the async-pipeline
+        # design the reference gets from CUDA streams
+        # (/root/reference/watsor/detection/tensorrt_gpu.py:145-160)
+        self._staging = np.zeros((2, max_batch, h, w, 3), np.uint8)
+        self._staging_sel = 0
+        self._inflight = None  # (backend handle, frames of the batch)
         self.fps = FramesPerSecond()
         self.inference_time = InferenceTime()
         # north-star metric: frame capture -> detections-in-header
@@ -65,8 +71,12 @@ class ObjectDetector(Task):
 
     def _process(self):
         try:
-            payload = self.frame_queue.get(timeout=1)
+            # with a step in flight, poll briefly so its results scatter
+            # promptly even when no new frames arrive
+            payload = self.frame_queue.get(
+                timeout=0.002 if self._inflight is not None else 1)
         except Empty:
+            self._finish_inflight()
             return
         payloads = [payload]
         deadline = monotonic() + self._batch_window
@@ -83,7 +93,7 @@ class ObjectDetector(Task):
                     break
         self._detect(payloads)
 
-    def _stage(self, index, frame):
+    def _stage(self, staging, index, frame):
         """Copy one frame into the staging batch, resizing on the host only
         when the decode resolution differs from the detect resolution (the
         decoder normally emits a detect-resolution plane, making this a
@@ -91,31 +101,69 @@ class ObjectDetector(Task):
         h, w = self._backend.input_hw
         detect_plane = getattr(frame, 'detect_plane', None)
         if detect_plane is not None and detect_plane.shape[:2] == (h, w):
-            self._staging[index] = detect_plane
+            staging[index] = detect_plane
         elif frame.image.shape[:2] == (h, w):
-            self._staging[index] = frame.image
+            staging[index] = frame.image
         else:
             import cv2
-            cv2.resize(frame.image, (w, h), dst=self._staging[index],
+            cv2.resize(frame.image, (w, h), dst=staging[index],
                        interpolation=cv2.INTER_LINEAR)
 
     def _detect(self, payloads):
         frames = []
         senders = []
+        staging = self._staging[self._staging_sel]
         for p in payloads:
             frame = self.frame_buffers[p.sender].frames[p.frame_index]
-            self._stage(len(frames), frame)
+            self._stage(staging, len(frames), frame)
             frames.append(frame)
             senders.append(p.sender)
 
+        dispatch = getattr(self._backend, 'dispatch', None)
+        if dispatch is None:
+            # synchronous protocol (test doubles): no pipelining
+            try:
+                result = self._backend.detect_batch(staging[:len(frames)],
+                                                    senders=senders)
+            except Exception:
+                self._logger.exception('Detection step failed')
+                for frame in frames:
+                    frame.latch.next()
+                return
+            self._scatter(result, frames)
+            return
+
         try:
-            result = self._backend.detect_batch(self._staging[:len(frames)],
-                                                senders=senders)
+            handle = dispatch(staging[:len(frames)], senders=senders)
+        except Exception:
+            self._logger.exception('Detection dispatch failed')
+            for frame in frames:
+                frame.latch.next()
+            return
+        # the previous step computed while this batch staged + transferred
+        self._staging_sel ^= 1
+        self._finish_inflight()
+        self._inflight = (handle, frames)
+
+    def _finish_inflight(self):
+        if self._inflight is None:
+            return
+        handle, frames = self._inflight
+        self._inflight = None
+        try:
+            result = self._backend.resolve(handle)
         except Exception:
             self._logger.exception('Detection step failed')
             for frame in frames:
                 frame.latch.next()
             return
+        self._scatter(result, frames)
+
+    def _on_stop(self):
+        # never strand a dispatched batch: its frames hold latch confirms
+        self._finish_inflight()
+
+    def _scatter(self, result, frames):
         boxes, scores, classes, valid, device_ms = result[:5]
         zones_hit = result[5] if len(result) > 5 else None
 
@@ -139,10 +187,17 @@ class ObjectDetector(Task):
                 records['confidence'] = scores[i, rows]
                 records['bbox'] = px
                 if zones_hit is not None:
-                    for j, row in enumerate(rows):
-                        zones = np.nonzero(zones_hit[i, row])[0][:10] + 1
-                        records['zones'][j, :len(zones)] = zones
-                        records['num_zones'][j] = len(zones)
+                    # vectorized zone scatter: stable-sort hit columns first
+                    # (ascending zone index), mask the tail — no Python loop
+                    # per detection (this runs 32x30 times a second)
+                    hits = zones_hit[i, rows]                  # [n, Z] bool
+                    width = min(10, hits.shape[1])
+                    order = np.argsort(~hits, axis=1,
+                                       kind='stable')[:, :width]
+                    mask = np.take_along_axis(hits, order, axis=1)
+                    records['zones'][:, :width] = np.where(
+                        mask, order + 1, 0)
+                    records['num_zones'] = mask.sum(axis=1)
             frame.set_detections(records)
             frame.latch.next()
             self.fps(True)

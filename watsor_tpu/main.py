@@ -263,7 +263,8 @@ class Application:
                     if label:
                         watched.add(label)
             detector = build_from_zoo(model_name, self._args.model_path,
-                                      active_labels=watched or None)
+                                      active_labels=watched or None,
+                                      nms_mode=config.get('nms'))
             if os.environ.get('WATSOR_QUANTIZE') == 'int8' and \
                     model_name.startswith('ssd_'):
                 # int8 weights in HBM, dequant fused into the step (the
@@ -395,10 +396,10 @@ class Application:
         request = Request(environ)
         path = request.path
 
-        if path == '/health':
-            response = Response('UP', mimetype='text/plain')
-            return response(environ, start_response)
-
+        # every route is authenticated, /health included — the reference
+        # authenticates its whole surface (/root/reference/watsor/main.py:
+        # 155-165); k8s-style probes can send credentials or auth can be
+        # left off entirely
         if not self._check_auth(environ):
             response = Response(
                 'Unauthorized', status=401,
@@ -408,6 +409,8 @@ class Application:
         try:
             if path == '/':
                 response = Response(self._home_page(), mimetype='text/html')
+            elif path == '/health':
+                response = Response('UP', mimetype='text/plain')
             elif path == '/metrics':
                 response = Response(json.dumps(self._metrics(), indent=2),
                                     mimetype='application/json')

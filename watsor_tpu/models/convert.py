@@ -1,16 +1,39 @@
-"""Weight conversion: public TF/Keras MobileNetV2 checkpoints -> the Flax
-backbone, with numerically matching activations.
+"""Weight conversion: public TF/Keras SSD-MobileNetV2 checkpoints -> the
+Flax detector, with numerically matching activations.
 
 This is the "weight sourcing" path (SURVEY.md §7 hard-part 5): the
-reference consumes SSD-MobileNet graphs as opaque binaries; here public
-checkpoints load into the first-class Flax modules. The layer mapping
-covers the canonical Keras MobileNetV2 naming (also produced by exporting
-TF-Hub / TF-OD-API feature extractors through Keras):
+reference consumes SSD-MobileNet graphs as opaque binaries
+(/root/reference/watsor/detection/tensorflow_cpu.py:35-62 loads
+saved_models; README.md:186 documents the model files); here public
+checkpoints load into the first-class Flax modules.
 
-    Conv1 / bn_Conv1                          -> stem
-    expanded_conv_{depthwise,project}(+BN)    -> block0 (expand ratio 1)
-    block_N_{expand,depthwise,project}(+BN)   -> blockN
-    Conv_1 / Conv_1_bn                        -> head
+Two sources are supported:
+
+1. **TF Object Detection API checkpoints** (the full detector — backbone,
+   extras and box/class heads). The canonical public model is
+   ``ssd_mobilenet_v2_coco_2018_03_29`` from the TF1 detection model zoo,
+   whose ``model.ckpt`` carries slim-style variable names::
+
+       FeatureExtractor/MobilenetV2/Conv/weights (+/BatchNorm/{gamma,beta,
+           moving_mean,moving_variance})                    -> stem
+       FeatureExtractor/MobilenetV2/expanded_conv/...       -> block0
+       FeatureExtractor/MobilenetV2/expanded_conv_N/
+           {expand,depthwise,project}/...                   -> blockN
+       FeatureExtractor/MobilenetV2/Conv_1/...              -> head
+       FeatureExtractor/MobilenetV2/layer_19_1_Conv2d_{i}_1x1_{c}
+                                                            -> extra{i-2}_pw
+       FeatureExtractor/MobilenetV2/layer_19_2_Conv2d_{i}_3x3_s2_{c}
+                                                            -> extra{i-2}
+       BoxPredictor_{i}/BoxEncodingPredictor/{weights,biases} -> box_head{i}
+       BoxPredictor_{i}/ClassPredictor/{weights,biases}       -> cls_head{i}
+
+   End-to-end CLI (see docs/WEIGHTS.md)::
+
+       python -m watsor_tpu.models.convert \
+           --checkpoint .../model.ckpt --output /usr/share/watsor/model
+
+2. **Keras MobileNetV2 models** (backbone only, e.g. ImageNet weights for
+   training a fresh head).
 
 Gated on TensorFlow being importable; everything else in the framework
 works without it.
@@ -105,3 +128,183 @@ def backbone_variables_from_keras(keras_model, dtype=None):
         params = jax.tree_util.tree_map(
             lambda x: np.asarray(x, dtype), params)
     return {'params': params, 'batch_stats': stats}
+
+
+# ---------------------------------------------------------------------------
+# TF Object Detection API (slim naming) -> full SSD detector
+# ---------------------------------------------------------------------------
+
+_MOBILENET_ROOT = 'FeatureExtractor/MobilenetV2/'
+
+
+class MissingVariable(KeyError):
+    """A variable the SSD layout requires is absent from the checkpoint."""
+
+
+def _slim_conv_bn(variables, scope, depthwise=False):
+    """One slim conv+BN unit -> (params subtree, batch_stats subtree)."""
+    weights_name = scope + ('/depthwise_weights' if depthwise
+                            else '/weights')
+    try:
+        kernel = np.asarray(variables[weights_name])
+        bn = {key: np.asarray(variables['{}/BatchNorm/{}'.format(scope, key)])
+              for key in ('gamma', 'beta', 'moving_mean', 'moving_variance')}
+    except KeyError as e:
+        raise MissingVariable(str(e))
+    if depthwise:
+        # slim depthwise kernel [kh, kw, in, 1] -> flax grouped-conv
+        # kernel [kh, kw, 1, in]
+        kernel = np.transpose(kernel, (0, 1, 3, 2))
+    return ({'Conv_0': {'kernel': kernel},
+             'BatchNorm_0': {'scale': bn['gamma'], 'bias': bn['beta']}},
+            {'BatchNorm_0': {'mean': bn['moving_mean'],
+                             'var': bn['moving_variance']}})
+
+
+def _slim_head(variables, scope):
+    try:
+        return {'kernel': np.asarray(variables[scope + '/weights']),
+                'bias': np.asarray(variables[scope + '/biases'])}
+    except KeyError as e:
+        raise MissingVariable(str(e))
+
+
+def tf_od_variables_to_flax(variables, config=None):
+    """Map a TF-OD-API SSD-MobileNetV2 variable dict {name: array} to the
+    flax variables tree of watsor_tpu.models.ssd.SSD.
+
+    ``config``: an SSDConfig (for the extras channel layout); defaults to
+    the stock SSD300 configuration the public checkpoints use."""
+    from watsor_tpu.models.ssd import SSDConfig
+    cfg = config if config is not None else SSDConfig()
+
+    params = {}
+    stats = {}
+
+    def put(path, scope, depthwise=False):
+        p, s = _slim_conv_bn(variables, scope, depthwise)
+        node_p, node_s = params, stats
+        for part in path[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p[path[-1]] = p
+        node_s[path[-1]] = s
+
+    # backbone
+    put(('backbone', 'stem'), _MOBILENET_ROOT + 'Conv')
+    put(('backbone', 'block0', 'depthwise'),
+        _MOBILENET_ROOT + 'expanded_conv/depthwise', depthwise=True)
+    put(('backbone', 'block0', 'project'),
+        _MOBILENET_ROOT + 'expanded_conv/project')
+    for n in range(1, 17):
+        scope = _MOBILENET_ROOT + 'expanded_conv_{}'.format(n)
+        if n == 13:
+            # the C4 tap: our backbone names block 13's stages explicitly
+            put(('backbone', 'block13_expand'), scope + '/expand')
+            put(('backbone', 'block13_depthwise'), scope + '/depthwise',
+                depthwise=True)
+            put(('backbone', 'block13_project'), scope + '/project')
+            continue
+        block = 'block{}'.format(n)
+        put(('backbone', block, 'expand'), scope + '/expand')
+        put(('backbone', block, 'depthwise'), scope + '/depthwise',
+            depthwise=True)
+        put(('backbone', block, 'project'), scope + '/project')
+    put(('backbone', 'head'), _MOBILENET_ROOT + 'Conv_1')
+
+    # extras ladder: layer_19_{1,2}_Conv2d_{2..5}
+    for i, ch in enumerate(cfg.extra_features):
+        put(('extra{}_pw'.format(i),),
+            _MOBILENET_ROOT + 'layer_19_1_Conv2d_{}_1x1_{}'.format(
+                i + 2, ch // 2))
+        put(('extra{}'.format(i),),
+            _MOBILENET_ROOT + 'layer_19_2_Conv2d_{}_3x3_s2_{}'.format(
+                i + 2, ch))
+
+    # box/class conv heads
+    n_layers = cfg.anchor_spec.num_layers
+    for i in range(n_layers):
+        params['box_head{}'.format(i)] = _slim_head(
+            variables, 'BoxPredictor_{}/BoxEncodingPredictor'.format(i))
+        params['cls_head{}'.format(i)] = _slim_head(
+            variables, 'BoxPredictor_{}/ClassPredictor'.format(i))
+
+    return {'params': params, 'batch_stats': stats}
+
+
+def infer_num_classes(variables, anchors_layer0=3):
+    """ClassPredictor_0 emits anchors * (num_classes + 1) channels; the
+    lowest SSD layer has 3 anchors (reduce_boxes_in_lowest_layer)."""
+    bias = variables.get('BoxPredictor_0/ClassPredictor/biases')
+    if bias is None:
+        raise MissingVariable('BoxPredictor_0/ClassPredictor/biases')
+    per_anchor = np.asarray(bias).size // anchors_layer0
+    return per_anchor - 1
+
+
+def load_tf_checkpoint_variables(checkpoint_path):
+    """Read every variable of a TF checkpoint (V1 or V2 format) into a
+    plain {name: np.ndarray} dict. Accepts the ``model.ckpt`` prefix, the
+    directory containing it, or a ``.index`` file path."""
+    import tensorflow as tf
+    import os
+    path = checkpoint_path
+    if os.path.isdir(path):
+        latest = tf.train.latest_checkpoint(path)
+        if latest is None:
+            # the TF1 zoo tarballs ship model.ckpt.* without a
+            # 'checkpoint' state file
+            candidate = os.path.join(path, 'model.ckpt')
+            if not tf.io.gfile.glob(candidate + '.index'):
+                raise FileNotFoundError(
+                    'no checkpoint found under {}'.format(path))
+            latest = candidate
+        path = latest
+    elif path.endswith('.index'):
+        path = path[:-len('.index')]
+    reader = tf.train.load_checkpoint(path)
+    names = reader.get_variable_to_shape_map().keys()
+    return {name: reader.get_tensor(name) for name in names
+            if 'Momentum' not in name and 'ExponentialMovingAverage'
+            not in name and 'global_step' not in name}
+
+
+def convert_tf_od_checkpoint(checkpoint_path, config=None):
+    """checkpoint -> (flax variables, SSDConfig). When ``config`` is None
+    the class count is inferred from the checkpoint's head shapes."""
+    from watsor_tpu.models.ssd import SSDConfig
+    variables = load_tf_checkpoint_variables(checkpoint_path)
+    if config is None:
+        config = SSDConfig(num_classes=infer_num_classes(variables))
+    return tf_od_variables_to_flax(variables, config), config
+
+
+def main(argv=None):
+    """CLI: TF-OD-API checkpoint -> <name>.msgpack the zoo loads directly.
+
+    Documented end-to-end in docs/WEIGHTS.md; the reference's analog is
+    dropping gpu.uff/cpu.pb model files into the model dir
+    (/root/reference/README.md:186)."""
+    import argparse
+    import logging
+    parser = argparse.ArgumentParser(
+        description='Convert a TF Object Detection API SSD-MobileNetV2 '
+                    'checkpoint into watsor-tpu weights')
+    parser.add_argument('-c', '--checkpoint', required=True,
+                        help='model.ckpt prefix, .index file, or directory')
+    parser.add_argument('-o', '--output', required=True,
+                        help='model directory to write into')
+    parser.add_argument('-n', '--name', default='ssd_mobilenet_v2',
+                        help='weight file stem (zoo model name)')
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    variables, config = convert_tf_od_checkpoint(args.checkpoint)
+    from watsor_tpu.models.zoo import save_weights
+    path = save_weights(variables, args.output, args.name)
+    print('wrote {} ({} classes, input {}x{})'.format(
+        path, config.num_classes, config.input_size, config.input_size))
+
+
+if __name__ == '__main__':
+    main()

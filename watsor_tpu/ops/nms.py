@@ -62,12 +62,14 @@ def _fast_keep(iou, iou_threshold):
     return max_prev <= iou_threshold
 
 
-@partial(jax.jit, static_argnames=('max_detections', 'union_m'))
+@partial(jax.jit, static_argnames=('max_detections', 'union_m',
+                                   'suppression'))
 def batched_class_aware_nms_fused(boxes, scores,
                                   iou_threshold=0.6,
                                   score_threshold=0.005,
                                   max_detections=100,
-                                  union_m=128):
+                                  union_m=128,
+                                  suppression='fast'):
     """Gather-free class-aware NMS (the TPU fast path).
 
     The top_k/suppression math of the classic formulation is nearly free on
@@ -78,11 +80,19 @@ def batched_class_aware_nms_fused(boxes, scores,
       1. one class-AGNOSTIC candidate union: top ``union_m`` anchors by
          max-class score (a single small gather);
       2. one shared IoU matrix [B, M, M] over the union;
-      3. suppression for ALL classes at once: candidate i of class c is
-         kept unless a higher-scoring same-class candidate overlaps it
-         (Fast-NMS semantics) — an elementwise compare broadcast over
-         [B, C, M, M] that XLA fuses straight into the reduction, so the
-         4-D tensor never hits HBM;
+      3. suppression for ALL classes at once — an elementwise compare
+         broadcast over [B, C, M, M] that XLA fuses straight into the
+         reduction, so the 4-D tensor never hits HBM. Two semantics:
+         ``suppression='fast'``: candidate i of class c is kept unless ANY
+         higher-scoring same-class candidate overlaps it (Fast-NMS — a
+         suppressed candidate still suppresses, over-aggressive on chains);
+         ``suppression='greedy'``: the same cheap step iterated to its
+         fixed point with a while_loop — candidate i is kept unless a KEPT
+         higher-scoring candidate overlaps it. The fixed point is exactly
+         the classic greedy-NMS solution (the suppressor relation is a DAG
+         ordered by score, and Jacobi iteration settles nodes in
+         topological-depth order, so it terminates in chain-depth steps —
+         2-4 in real scenes). Greedy semantics at fused cost.
       4. final top-k over [B, C*M]; boxes come from the union by one tiny
          gather, classes by integer arithmetic (no gather at all).
 
@@ -104,12 +114,30 @@ def batched_class_aware_nms_fused(boxes, scores,
     iou = iou_matrix(union_boxes, union_boxes)               # [B, M, M]
     overlap = (iou > iou_threshold)[:, None, :, :]           # [B, 1, M, M]
 
-    # 3. all-class suppression, fused compare+reduce (j = suppressor)
+    # 3. all-class suppression, fused compare+reduce. higher[b,c,i,j] means
+    # candidate i outranks candidate j for class c (score, index tiebreak).
     idx = jnp.arange(M)
     higher = (s[:, :, :, None] > s[:, :, None, :]) | \
         ((s[:, :, :, None] == s[:, :, None, :]) &
          (idx[None, None, :, None] < idx[None, None, None, :]))
-    suppressed = jnp.any(higher & overlap, axis=2)           # [B, C, M]
+    if suppression == 'greedy':
+        def cond(state):
+            _, changed = state
+            return changed
+
+        def body(state):
+            keep, _ = state
+            # i suppresses j only while i itself is kept
+            suppressed = jnp.any(higher & overlap & keep[:, :, :, None],
+                                 axis=2)                     # [B, C, M]
+            new_keep = ~suppressed
+            return new_keep, jnp.any(new_keep != keep)
+
+        keep0 = jnp.ones(s.shape, dtype=bool)
+        keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.bool_(True)))
+        suppressed = ~keep
+    else:
+        suppressed = jnp.any(higher & overlap, axis=2)       # [B, C, M]
     kept = jnp.where(~suppressed & (s > score_threshold), s, 0.0)
 
     # 4. merge classes
@@ -153,11 +181,12 @@ def batched_class_aware_nms(boxes, scores,
                                           offset (edge_tpu.py:49).
       valid      [B]                      int32 count of real detections.
     """
-    if mode == 'fused':
+    if mode in ('fused', 'fused_exact'):
         return batched_class_aware_nms_fused(
             boxes, scores, iou_threshold=iou_threshold,
             score_threshold=score_threshold,
-            max_detections=max_detections)
+            max_detections=max_detections,
+            suppression='greedy' if mode == 'fused_exact' else 'fast')
 
     B, A, C = scores.shape
     k = min(per_class_k, A)
