@@ -182,13 +182,16 @@ class JaxDetectorBackend(DetectorBackend):
         out, zones_hit, n, start = handle
         out = jax.block_until_ready(out)
         device_ms = (perf_counter() - start) * 1000.0
-        boxes = np.asarray(out.boxes[:n], np.float32)
-        scores = np.asarray(out.scores[:n], np.float32)
-        classes = np.asarray(out.classes[:n], np.int32)
-        valid = np.asarray(out.valid[:n], np.int32)
+        # slice on the HOST: a device-side [:n] would dispatch extra slice
+        # programs + separate transfers per field (the padded tail is a few
+        # KB — cheaper to ship than to trim remotely)
+        boxes = np.asarray(out.boxes, np.float32)[:n]
+        scores = np.asarray(out.scores, np.float32)[:n]
+        classes = np.asarray(out.classes, np.int32)[:n]
+        valid = np.asarray(out.valid, np.int32)[:n]
         if zones_hit is not None:
             return boxes, scores, classes, valid, device_ms, \
-                np.asarray(zones_hit[:n])
+                np.asarray(zones_hit)[:n]
         return boxes, scores, classes, valid, device_ms
 
     def detect_batch(self, images_u8: np.ndarray, senders=None):

@@ -127,7 +127,17 @@ class Application:
         if zone_mask is not None:
             return [CopyHeaderEffect(), CopyImageEffect(),
                     BlendEffect(zone_mask), DrawEffectWithContours(zone_mask)]
-        if os.environ.get('WATSOR_DEVICE_RENDER') == '1':
+        # Device render default: ON at fleet scale (WATSOR_FLEET=1 — many
+        # cameras per chip-dense host, where per-frame cv2 drawing saturates
+        # host cores; the batched overlay kernel measures 0.14 ms for
+        # 16x1080p, BENCHMARKS.md), host drawing otherwise (a handful of
+        # cameras never bottlenecks on cv2, and frames skip a D2H round
+        # trip). WATSOR_DEVICE_RENDER=0|1 overrides either way.
+        device_render = os.environ.get('WATSOR_DEVICE_RENDER')
+        if device_render is None:
+            device_render = '1' if os.environ.get('WATSOR_FLEET') == '1' \
+                else '0'
+        if device_render == '1':
             # box geometry renders on device, batched across every camera
             # that shares this renderer (fleet-scale broadcast path)
             from watsor_tpu.output.device_render import DeviceDrawEffect, \
