@@ -44,3 +44,31 @@ def test_warmup_honors_trt_float_precision_env(tiny_model, tmp_path,
     monkeypatch.setenv('TRT_FLOAT_PRECISION', '32')
     warmup.main(['-m', tiny_model, '-b', '1',
                  '--cache-dir', str(tmp_path / 'cache')])
+
+
+def test_warmup_from_config_matches_serving_program(tiny_model, tmp_path):
+    """--config derives the exact serving spec (watched-class axis + NMS
+    mode) so the AOT compile hits the cache at startup."""
+    config_file = tmp_path / 'config.yaml'
+    config_file.write_text(
+        'nms: exact\n'
+        'cameras:\n'
+        '  - cam1:\n'
+        '      width: 64\n'
+        '      height: 48\n'
+        '      input: synthetic://shapes\n'
+        '      detect: [person: , car: ]\n'
+        '      ffmpeg: {decoder: [-i, -f, rawvideo, -pix_fmt, rgb24]}\n')
+    warmup.main(['-m', tiny_model, '-b', '1', '-c', str(config_file),
+                 '--cache-dir', str(tmp_path / 'cache')])
+
+    # the spec the app derives must agree with what warmup used
+    import argparse
+    from watsor_tpu.config import parse, validate, normalize
+    from watsor_tpu.main import detector_spec_from_config
+    config = normalize(validate(parse(str(config_file))), str(tmp_path))
+    name, labels, nms = detector_spec_from_config(
+        config, argparse.Namespace(model=tiny_model))
+    assert name == tiny_model
+    assert labels == {1, 3}          # person, car
+    assert nms == 'exact'

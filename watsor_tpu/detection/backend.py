@@ -79,9 +79,9 @@ class FleetBackend(DetectorBackend):
         n = ((n + self._data_size - 1) // self._data_size) * self._data_size
         self.detect_batch(np.zeros((n, h, w, 3), np.uint8))
 
-    def detect_batch(self, images_u8, senders=None):
-        import jax
-
+    def dispatch(self, images_u8, senders=None):
+        """Async launch across the mesh (same contract as
+        JaxDetectorBackend.dispatch: caller double-buffers the input)."""
         n = images_u8.shape[0]
         target = max(_bucket(min(n, self._max_batch)), self._data_size)
         target = ((target + self._data_size - 1) // self._data_size) * \
@@ -91,13 +91,23 @@ class FleetBackend(DetectorBackend):
             images_u8 = np.concatenate([images_u8, pad], axis=0)
         with self._lock:
             start = perf_counter()
-            out = jax.block_until_ready(self._fleet.detect(images_u8))
-            device_ms = (perf_counter() - start) * 1000.0
-        return (np.asarray(out.boxes[:n], np.float32),
-                np.asarray(out.scores[:n], np.float32),
-                np.asarray(out.classes[:n], np.int32),
-                np.asarray(out.valid[:n], np.int32),
+            out = self._fleet.detect(images_u8)
+        return (out, n, start)
+
+    def resolve(self, handle):
+        import jax
+
+        out, n, start = handle
+        out = jax.block_until_ready(out)
+        device_ms = (perf_counter() - start) * 1000.0
+        return (np.asarray(out.boxes, np.float32)[:n],
+                np.asarray(out.scores, np.float32)[:n],
+                np.asarray(out.classes, np.int32)[:n],
+                np.asarray(out.valid, np.int32)[:n],
                 device_ms)
+
+    def detect_batch(self, images_u8, senders=None):
+        return self.resolve(self.dispatch(images_u8, senders=senders))
 
 
 class JaxDetectorBackend(DetectorBackend):
@@ -109,7 +119,7 @@ class JaxDetectorBackend(DetectorBackend):
     recompilation (static shapes are an XLA requirement, SURVEY.md §7).
     """
 
-    def __init__(self, detector, device=None, max_batch=32,
+    def __init__(self, detector, device=None, max_batch=64,
                  camera_tables=None):
         import jax
 

@@ -205,7 +205,7 @@ class ObjectDetector(Task):
 
 
 def create_object_detectors(frame_queue_group, frame_buffers, backend_factory,
-                            stop_event=None, max_batch=32):
+                            stop_event=None, max_batch=64):
     """One detector task per visible accelerator, all draining the same
     balanced queue — the load-balancing contract of the reference's factory
     (/root/reference/watsor/detection/detector.py:12-55: one process per

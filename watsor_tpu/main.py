@@ -61,6 +61,25 @@ def _parse_commandline_arguments(argv=None):
     return parser.parse_args(argv)
 
 
+def detector_spec_from_config(config, args):
+    """The (model_name, active_labels, nms_mode) triple the application
+    will build from this config — shared with the warmup CLI so the AOT
+    compile produces the EXACT serving program (same class axis, same NMS
+    mode), the way the reference's engine build matches its runtime
+    (/root/reference/watsor/main_for_gpu.py:17-26)."""
+    from watsor_tpu.config.coco import coco_label_index
+    from watsor_tpu.models.zoo import DEFAULT_MODEL
+    model_name = getattr(args, 'model', None) or DEFAULT_MODEL
+    watched = set()
+    for camera in config['cameras']:
+        camera_config = camera[next(iter(camera))]
+        for entry in camera_config['detect']:
+            label = coco_label_index(next(iter(entry)))
+            if label:
+                watched.add(label)
+    return model_name, watched or None, config.get('nms')
+
+
 class Application:
     """Builds and runs the whole graph from a validated config."""
 
@@ -260,21 +279,14 @@ class Application:
         detector = None
         model_name = None
         if self._backend_factory is None:
-            from watsor_tpu.config.coco import coco_label_index
-            from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
-            model_name = getattr(self._args, 'model', None) or DEFAULT_MODEL
+            from watsor_tpu.models.zoo import build_from_zoo
             # the post-processing class axis only carries the union of
             # watched classes across cameras (e.g. 2 instead of 90)
-            watched = set()
-            for camera in config['cameras']:
-                camera_config = camera[next(iter(camera))]
-                for entry in camera_config['detect']:
-                    label = coco_label_index(next(iter(entry)))
-                    if label:
-                        watched.add(label)
+            model_name, watched, nms_mode = detector_spec_from_config(
+                config, self._args)
             detector = build_from_zoo(model_name, self._args.model_path,
-                                      active_labels=watched or None,
-                                      nms_mode=config.get('nms'))
+                                      active_labels=watched,
+                                      nms_mode=nms_mode)
             if os.environ.get('WATSOR_QUANTIZE') == 'int8' and \
                     model_name.startswith('ssd_'):
                 # int8 weights in HBM, dequant fused into the step (the

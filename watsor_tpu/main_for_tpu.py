@@ -23,7 +23,10 @@ def main(argv=None):
     args = _parse_commandline_arguments(argv)
     cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',
                                '/tmp/watsor-tpu-jit-cache')
-    warmup_args = ['--cache-dir', cache_dir]
+    # warm the EXACT serving program: same config-derived class axis and
+    # NMS mode (a generic warm would compile a different executable and
+    # miss the cache at startup)
+    warmup_args = ['--cache-dir', cache_dir, '-c', args.config]
     if args.model:
         warmup_args += ['-m', args.model]
     if args.model_path:

@@ -28,6 +28,9 @@ def main(argv=None):
                                                  'step into the XLA cache')
     parser.add_argument('-m', '--model', default=None,
                         help='model name from the zoo (default flagship)')
+    parser.add_argument('-c', '--config', default=None,
+                        help='application YAML: warm the EXACT serving '
+                             'program (watched-class axis + nms mode)')
     parser.add_argument('--model-path', default=os.environ.get('MODEL_PATH'),
                         help='directory with model weights')
     parser.add_argument('--cache-dir',
@@ -52,8 +55,20 @@ def main(argv=None):
     from watsor_tpu.models.zoo import DEFAULT_MODEL, build_from_zoo
 
     name = args.model or DEFAULT_MODEL
+    active_labels = None
+    nms_mode = None
+    if args.config:
+        import os as _os
+        from watsor_tpu.config import normalize, parse, validate
+        from watsor_tpu.main import detector_spec_from_config
+        config = normalize(validate(parse(args.config)),
+                           _os.path.dirname(_os.path.abspath(args.config)))
+        name, active_labels, nms_mode = detector_spec_from_config(
+            config, args)
     dtype = jnp.float32 if args.precision == 32 else None
-    detector = build_from_zoo(name, args.model_path, dtype=dtype)
+    detector = build_from_zoo(name, args.model_path, dtype=dtype,
+                              active_labels=active_labels,
+                              nms_mode=nms_mode)
 
     size = detector.config.input_size
     for batch in args.batches:
