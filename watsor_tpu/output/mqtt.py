@@ -120,6 +120,15 @@ class MQTT(WorkPublish):
             self._report_sensor()
             self._report_camera_state()
         except (MqttError, OSError):
+            # half-announced session (e.g. no command subscription) is
+            # worse than none: drop it so the next tick redoes the whole
+            # connect+announce sequence
+            try:
+                self._client.disconnect()
+            except (MqttError, OSError):
+                pass
+            self._next_attempt = monotonic() + self._backoff
+            self._backoff = min(self._backoff * 2, 30.0)
             return False
         self._logger.info('MQTT connected to %s', self._prefix)
         return True
