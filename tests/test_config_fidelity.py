@@ -39,6 +39,17 @@ def test_decoder_input_format_before_input():
     assert 'video_size=640x480' in args.options
 
 
+def test_negative_option_values_translate():
+    """'-timeout -1' is valid ffmpeg (infinite/listen); the negative number
+    is the VALUE, not an unknown flag."""
+    args = decoder_args_from_argv([
+        'ffmpeg', '-timeout', '-1', '-max_delay', '-1',
+        '-i', 'rtsp://cam', '-f', 'rawvideo', '-pix_fmt', 'rgb24', '-'])
+    assert 'timeout=-1' in args.options
+    assert 'max_delay=-1' in args.options
+    assert args.unknown == []
+
+
 def test_decoder_unknown_flags_collected():
     args = decoder_args_from_argv([
         'ffmpeg', '-hwaccel', 'cuda', '-vf', 'scale=640:480',

@@ -53,7 +53,9 @@ def _env_var(loader, node):
     fallback; the environment wins when the variable is set, otherwise the
     remainder of the scalar is returned verbatim. Unset + no fallback is a
     configuration error."""
-    name, _, fallback = node.value.strip().partition(' ')
+    parts = node.value.split(None, 1)     # internal spacing of the
+    name = parts[0] if parts else ''      # fallback is preserved, the
+    fallback = parts[1] if len(parts) > 1 else ''  # separator run is not
     value = os.environ.get(name)
     if value is not None:
         return value

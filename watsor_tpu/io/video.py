@@ -63,6 +63,17 @@ _ARGV_PLUMBING_VALUE_FLAGS = frozenset(('-f', '-pix_fmt', '-s', '-vcodec',
                                         '-c:v', '-codec:v'))
 
 
+def _is_option_value(token):
+    """True when the next argv token is an option VALUE: anything not
+    '-'-prefixed, plus negative numbers ('-timeout -1' is valid ffmpeg);
+    a bare '-' is the pipe placeholder, never a value."""
+    if token == '-':
+        return False
+    if not token.startswith('-'):
+        return True
+    return len(token) > 1 and (token[1].isdigit() or token[1] == '.')
+
+
 class DecoderArgs:
     """Decoded form of a watsor-style ffmpeg decoder argv."""
 
@@ -94,7 +105,7 @@ def decoder_args_from_argv(argv):
     while i < len(argv):
         arg = argv[i]
         before_input = i < input_end
-        has_value = i + 1 < len(argv) and not argv[i + 1].startswith('-')
+        has_value = i + 1 < len(argv) and _is_option_value(argv[i + 1])
         if arg == 'ffmpeg' or arg == '-' or not arg.startswith('-'):
             pass                     # program name, pipes, option values
         elif arg == '-re':
@@ -189,7 +200,7 @@ def encoder_args_from_argv(argv):
     i = start
     while i < len(argv):
         arg = argv[i]
-        has_value = i + 1 < len(argv) and not argv[i + 1].startswith('-')
+        has_value = i + 1 < len(argv) and _is_option_value(argv[i + 1])
         if not arg.startswith('-') or arg == '-':
             pass                     # output target / option values
         elif arg in ('-vcodec', '-c:v', '-codec:v') and has_value:

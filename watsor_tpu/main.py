@@ -330,7 +330,8 @@ class Application:
             fleet = FleetDetector(mesh, detector.config)
             any_queue = next(iter(queues.values()))
             self._detectors = [ObjectDetector(
-                'detector-fleet', any_queue, buffers, FleetBackend(fleet))]
+                'detector-fleet', any_queue, buffers, FleetBackend(fleet),
+                max_batch=64)]
             return
         if backend_factory is None:
             from watsor_tpu.detection import JaxDetectorBackend

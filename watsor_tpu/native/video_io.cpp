@@ -57,7 +57,11 @@ constexpr size_t kLogRingCap = 512;
 void wt_log_callback(void* avcl, int level, const char* fmt, va_list vl) {
     if (level > AV_LOG_INFO) return;  // VERBOSE/DEBUG/TRACE: never buffered
     char line[1024];
+    // av_log callbacks run concurrently from decoder/encoder worker
+    // threads; the whole format+push runs under the ring mutex because
+    // av_log_format_line's continuation state (print_prefix) is shared.
     static int print_prefix = 1;
+    std::lock_guard<std::mutex> lock(g_log_mutex);
     // av_log_format_line prefixes "[h264 @ 0x...]"-style context, the same
     // prefix ffmpeg prints on stderr, so operators see familiar messages
     av_log_format_line(avcl, level, fmt, vl, line, sizeof(line),
@@ -67,7 +71,6 @@ void wt_log_callback(void* avcl, int level, const char* fmt, va_list vl) {
         line[--len] = '\0';
     }
     if (len == 0) return;
-    std::lock_guard<std::mutex> lock(g_log_mutex);
     if (g_log_ring.size() >= kLogRingCap) g_log_ring.pop_front();
     g_log_ring.push_back({level, std::string(line, len)});
 }

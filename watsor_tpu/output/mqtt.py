@@ -171,19 +171,27 @@ class MQTT(WorkPublish):
         if not self._ensure_connected():
             return
         now = time()
-        self._report_states(detections, now)
-        if self._details_enabled and len(detections):
-            self._report_details(detections, epoch)
-        self._report_sensor()
-        self._report_camera_state()
+        try:
+            self._report_states(detections, now)
+            if self._details_enabled and len(detections):
+                self._report_details(detections, epoch)
+            self._report_sensor()
+            self._report_camera_state()
+        except (MqttError, OSError):
+            # disconnect raced past the gate: don't kill the spin — the
+            # next tick reconnects with backoff
+            self._on_disconnect()
 
     def _no_frame(self):
         # idle tick: detections may have gone quiet; keep topics fresh
         if not self._ensure_connected():
             return
-        self._report_states([], time())
-        self._report_sensor()
-        self._report_camera_state()
+        try:
+            self._report_states([], time())
+            self._report_sensor()
+            self._report_camera_state()
+        except (MqttError, OSError):
+            self._on_disconnect()
 
     def _report_states(self, detections, now):
         seen_now = set()

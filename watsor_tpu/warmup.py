@@ -38,8 +38,9 @@ def main(argv=None):
                                                '/tmp/watsor-tpu-jit-cache'),
                         help='persistent compilation cache directory')
     parser.add_argument('-b', '--batches', type=int, nargs='+',
-                        default=[1, 2, 4, 8, 16, 32],
-                        help='batch buckets to compile')
+                        default=[1, 2, 4, 8, 16, 32, 64],
+                        help='batch buckets to compile (must cover the '
+                             'serving max_batch, default 64)')
     parser.add_argument('-p', '--precision', type=int,
                         choices=(16, 32),
                         default=int(os.environ.get('TRT_FLOAT_PRECISION',
