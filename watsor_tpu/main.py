@@ -287,8 +287,8 @@ class Application:
             detector = build_from_zoo(model_name, self._args.model_path,
                                       active_labels=watched,
                                       nms_mode=nms_mode)
-            if os.environ.get('WATSOR_QUANTIZE') == 'int8' and \
-                    model_name.startswith('ssd_'):
+            quantize_mode = os.environ.get('WATSOR_QUANTIZE')
+            if quantize_mode == 'int8' and model_name.startswith('ssd_'):
                 # int8 weights in HBM, dequant fused into the step (the
                 # EdgeTPU-parity efficiency mode, models/quantize.py)
                 from watsor_tpu.models.quantize import quantize_params, \
@@ -303,6 +303,29 @@ class Application:
                 detector = detector._replace(params=q_params,
                                              detect_batch=quantized_step)
                 _LOGGER.info('Weights quantized to int8')
+            elif quantize_mode == 'int8_full' and \
+                    model_name.startswith('ssd_'):
+                # full int8 activations: every backbone/extras conv runs
+                # int8 on the MXU (models/ssd_int8.py). Calibration frames
+                # from WATSOR_CALIB_FILE (npz with 'images' [N,H,W,3] u8),
+                # else random noise with a warning.
+                import numpy as _np
+                calib_file = os.environ.get('WATSOR_CALIB_FILE')
+                if calib_file and os.path.exists(calib_file):
+                    with _np.load(calib_file) as data:
+                        calib = data['images']
+                else:
+                    _LOGGER.warning(
+                        'WATSOR_QUANTIZE=int8_full without a calibration '
+                        'set (WATSOR_CALIB_FILE): calibrating activation '
+                        'scales on random noise — provide real frames for '
+                        'production accuracy')
+                    size = detector.config.input_size
+                    calib = _np.random.RandomState(0).randint(
+                        0, 255, (8, size, size, 3), _np.uint8)
+                from watsor_tpu.models.ssd_int8 import build_int8_detector
+                detector = build_int8_detector(detector, calib)
+                _LOGGER.info('Full int8-activation inference enabled')
             self.DETECT_SIZE = detector.config.input_size
             _LOGGER.info('Detection model: %s (input %dx%d, %s classes)',
                          model_name, self.DETECT_SIZE, self.DETECT_SIZE,
