@@ -46,9 +46,11 @@ def test_warmup_honors_trt_float_precision_env(tiny_model, tmp_path,
                  '--cache-dir', str(tmp_path / 'cache')])
 
 
-def test_warmup_from_config_matches_serving_program(tiny_model, tmp_path):
+def test_warmup_from_config_matches_serving_program(tiny_model, tmp_path,
+                                                    capsys):
     """--config derives the exact serving spec (watched-class axis + NMS
-    mode) so the AOT compile hits the cache at startup."""
+    mode) so the AOT compile hits the cache at startup; batch buckets trim
+    to what the camera count can produce (<=1 in-flight frame/camera)."""
     config_file = tmp_path / 'config.yaml'
     config_file.write_text(
         'nms: exact\n'
@@ -59,8 +61,12 @@ def test_warmup_from_config_matches_serving_program(tiny_model, tmp_path):
         '      input: synthetic://shapes\n'
         '      detect: [person: , car: ]\n'
         '      ffmpeg: {decoder: [-i, -f, rawvideo, -pix_fmt, rgb24]}\n')
-    warmup.main(['-m', tiny_model, '-b', '1', '-c', str(config_file),
+    warmup.main(['-m', tiny_model, '-c', str(config_file),
                  '--cache-dir', str(tmp_path / 'cache')])
+    printed = capsys.readouterr().out
+    assert 'batch   1:' in printed
+    assert 'batch   2:' not in printed, \
+        'one camera can never form a batch of 2 — bucket not trimmed'
 
     # the spec the app derives must agree with what warmup used
     import argparse

@@ -66,6 +66,16 @@ def main(argv=None):
                            _os.path.dirname(_os.path.abspath(args.config)))
         name, active_labels, nms_mode = detector_spec_from_config(
             config, args)
+        # only the buckets this deployment can produce: the batch holds at
+        # most one frame per camera (compiling bucket 64 for a 3-camera
+        # config would waste minutes of AOT time)
+        n_cameras = len(config['cameras'])
+        args.batches = sorted({b for b in args.batches if b <= n_cameras}
+                              | {min(min(args.batches), n_cameras)}
+                              | ({min(b for b in args.batches
+                                      if b >= n_cameras)}
+                                 if any(b >= n_cameras for b in args.batches)
+                                 else set()))
     dtype = jnp.float32 if args.precision == 32 else None
     detector = build_from_zoo(name, args.model_path, dtype=dtype,
                               active_labels=active_labels,
