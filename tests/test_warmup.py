@@ -78,3 +78,11 @@ def test_warmup_from_config_matches_serving_program(tiny_model, tmp_path,
     assert name == tiny_model
     assert labels == {1, 3}          # person, car
     assert nms == 'exact'
+
+
+def test_engine_cli_shim(tiny_model, tmp_path):
+    """python -m watsor_tpu.engine — the reference engine.py CLI surface
+    (/root/reference/watsor/engine.py:73-107) maps onto the warmup."""
+    from watsor_tpu import engine
+    engine.main(['-i', '{}.msgpack'.format(tiny_model), '-p', '16',
+                 '-o', str(tmp_path / 'cache')])
