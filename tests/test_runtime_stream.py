@@ -77,7 +77,10 @@ def test_latest_frame_wins_lag_bounded():
     reader = TickRead("r", q, rate_hz=200)
     worker = SlowWork("w", q, service_s=0.05)
     _run_pipeline([reader], [worker], 1.5)
-    assert worker.max_lag < 0.05 + 0.03, worker.max_lag
+    # bound: ~one worker period + generous scheduler jitter (the suite may
+    # share one loaded core; the property is "no backlog accumulation",
+    # i.e. lag stays O(one period), not O(run duration ~1.5 s))
+    assert worker.max_lag < 0.05 + 0.15, worker.max_lag
     assert reader.dropped > 0  # drops happened rather than queueing
 
 
