@@ -232,6 +232,63 @@ def tf_od_variables_to_flax(variables, config=None):
     return {'params': params, 'batch_stats': stats}
 
 
+_MOBILENET_V1_ROOT = 'FeatureExtractor/MobilenetV1/'
+
+
+def tf_od_v1_variables_to_flax(variables, config=None):
+    """Map a TF-OD-API SSD-MobileNetV1 variable dict (the slim layout of
+    the public ``ssd_mobilenet_v1_coco_2018_01_28`` model.ckpt) to the
+    flax tree of the ``backbone='mobilenet_v1'`` SSD::
+
+        FeatureExtractor/MobilenetV1/Conv2d_0/...            -> stem
+        FeatureExtractor/MobilenetV1/Conv2d_{n}_depthwise/...-> unitN_depthwise
+        FeatureExtractor/MobilenetV1/Conv2d_{n}_pointwise/...-> unitN_pointwise
+        .../Conv2d_13_pointwise_1_Conv2d_{i}_1x1_{c}         -> extra{i-2}_pw
+        .../Conv2d_13_pointwise_2_Conv2d_{i}_3x3_s2_{c}      -> extra{i-2}
+        BoxPredictor_{i}/...                                 -> heads
+    """
+    from watsor_tpu.models.ssd import SSDConfig
+    cfg = config if config is not None else SSDConfig(
+        backbone='mobilenet_v1')
+    assert cfg.backbone == 'mobilenet_v1'
+
+    params = {}
+    stats = {}
+
+    def put(path, scope, depthwise=False):
+        p, s = _slim_conv_bn(variables, scope, depthwise)
+        node_p, node_s = params, stats
+        for part in path[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p[path[-1]] = p
+        node_s[path[-1]] = s
+
+    put(('backbone', 'stem'), _MOBILENET_V1_ROOT + 'Conv2d_0')
+    for n in range(1, 14):
+        put(('backbone', 'unit{}_depthwise'.format(n)),
+            _MOBILENET_V1_ROOT + 'Conv2d_{}_depthwise'.format(n),
+            depthwise=True)
+        put(('backbone', 'unit{}_pointwise'.format(n)),
+            _MOBILENET_V1_ROOT + 'Conv2d_{}_pointwise'.format(n))
+
+    for i, ch in enumerate(cfg.extra_features):
+        put(('extra{}_pw'.format(i),),
+            _MOBILENET_V1_ROOT +
+            'Conv2d_13_pointwise_1_Conv2d_{}_1x1_{}'.format(i + 2, ch // 2))
+        put(('extra{}'.format(i),),
+            _MOBILENET_V1_ROOT +
+            'Conv2d_13_pointwise_2_Conv2d_{}_3x3_s2_{}'.format(i + 2, ch))
+
+    for i in range(cfg.anchor_spec.num_layers):
+        params['box_head{}'.format(i)] = _slim_head(
+            variables, 'BoxPredictor_{}/BoxEncodingPredictor'.format(i))
+        params['cls_head{}'.format(i)] = _slim_head(
+            variables, 'BoxPredictor_{}/ClassPredictor'.format(i))
+
+    return {'params': params, 'batch_stats': stats}
+
+
 def infer_num_classes(variables, anchors_layer0=3):
     """ClassPredictor_0 emits anchors * (num_classes + 1) channels; the
     lowest SSD layer has 3 anchors (reduce_boxes_in_lowest_layer)."""
@@ -271,11 +328,17 @@ def load_tf_checkpoint_variables(checkpoint_path):
 
 def convert_tf_od_checkpoint(checkpoint_path, config=None):
     """checkpoint -> (flax variables, SSDConfig). When ``config`` is None
-    the class count is inferred from the checkpoint's head shapes."""
+    the backbone family (MobilenetV1/V2) and class count are inferred from
+    the checkpoint's variable names and head shapes."""
     from watsor_tpu.models.ssd import SSDConfig
     variables = load_tf_checkpoint_variables(checkpoint_path)
+    is_v1 = any(name.startswith(_MOBILENET_V1_ROOT) for name in variables)
     if config is None:
-        config = SSDConfig(num_classes=infer_num_classes(variables))
+        config = SSDConfig(num_classes=infer_num_classes(variables),
+                           backbone='mobilenet_v1' if is_v1
+                           else 'mobilenet_v2')
+    if config.backbone == 'mobilenet_v1':
+        return tf_od_v1_variables_to_flax(variables, config), config
     return tf_od_variables_to_flax(variables, config), config
 
 
@@ -300,8 +363,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
 
     variables, config = convert_tf_od_checkpoint(args.checkpoint)
+    name = args.name
+    if name == 'ssd_mobilenet_v2' and config.backbone == 'mobilenet_v1':
+        name = 'ssd_mobilenet_v1'    # default name follows the detection
     from watsor_tpu.models.zoo import save_weights
-    path = save_weights(variables, args.output, args.name)
+    path = save_weights(variables, args.output, name)
     print('wrote {} ({} classes, input {}x{})'.format(
         path, config.num_classes, config.input_size, config.input_size))
 

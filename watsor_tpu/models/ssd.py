@@ -29,6 +29,9 @@ from watsor_tpu.ops.preprocess import resize_bilinear_mxu
 class SSDConfig(NamedTuple):
     num_classes: int = 90          # foreground classes (COCO)
     input_size: int = 300
+    # 'mobilenet_v2' (default) or 'mobilenet_v1' — the two SSD families the
+    # reference documents for every backend (/root/reference/README.md:446)
+    backbone: str = 'mobilenet_v2'
     width_multiplier: float = 1.0
     extra_features: Tuple[int, ...] = (512, 256, 256, 128)
     anchor_spec: AnchorSpec = AnchorSpec()
@@ -58,8 +61,14 @@ class SSD(nn.Module):
     @nn.compact
     def __call__(self, images, train=False):
         cfg = self.config
-        c4, c5 = MobileNetV2Backbone(cfg.width_multiplier, dtype=cfg.dtype,
-                                     name='backbone')(images, train)
+        if cfg.backbone == 'mobilenet_v1':
+            from watsor_tpu.models.mobilenet_v1 import MobileNetV1Backbone
+            backbone = MobileNetV1Backbone(cfg.width_multiplier,
+                                           dtype=cfg.dtype, name='backbone')
+        else:
+            backbone = MobileNetV2Backbone(cfg.width_multiplier,
+                                           dtype=cfg.dtype, name='backbone')
+        c4, c5 = backbone(images, train)
         features = [c4, c5]
         x = c5
         for i, ch in enumerate(cfg.extra_features):

@@ -37,6 +37,8 @@ def _effdet_config(variant='lite0'):
 # keep the zoo import light
 MODEL_REGISTRY = {
     'ssd_mobilenet_v2': (build_detector, SSDConfig()),
+    'ssd_mobilenet_v1': (build_detector,
+                         SSDConfig(backbone='mobilenet_v1')),
     'ssd_mobilenet_v2_shapes': (build_detector, SSDConfig(num_classes=3)),
     'efficientdet_lite0': (_build_effdet, None),
 }
