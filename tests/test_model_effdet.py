@@ -48,3 +48,20 @@ def test_detect_batch_contract(tiny_effdet):
     assert out.classes.shape == (2, TINY.max_detections)
     assert np.asarray(out.boxes).min() >= 0.0
     assert np.asarray(out.boxes).max() <= 1.0
+
+
+def test_lite_variant_scaling():
+    """lite1/lite2 apply the published compound scaling and build from the
+    zoo without an explicit registry entry."""
+    from watsor_tpu.models.efficientdet import lite_config
+    import jax.numpy as jnp
+    for variant, (size, ch, fpn_r, _) in (
+            ('lite0', (320, 64, 3, 3)),
+            ('lite1', (384, 88, 4, 3)),
+            ('lite2', (448, 112, 5, 3))):
+        cfg = lite_config(variant)
+        assert (cfg.input_size, cfg.fpn_channels, cfg.fpn_repeats) == \
+            (size, ch, fpn_r)
+    from watsor_tpu.models.zoo import build_from_zoo
+    det = build_from_zoo('efficientdet_lite1', dtype=jnp.float32)
+    assert det.config.input_size == 384

@@ -24,6 +24,23 @@ from watsor_tpu.ops.nms import batched_class_aware_nms
 from watsor_tpu.ops.preprocess import resize_bilinear_mxu
 
 
+# published EfficientDet-Lite compound scaling:
+# variant -> (input_size, fpn_channels, fpn_repeats, head_repeats)
+LITE_DET_SCALING = {
+    'lite0': (320, 64, 3, 3),
+    'lite1': (384, 88, 4, 3),
+    'lite2': (448, 112, 5, 3),
+}
+
+
+def lite_config(variant='lite0', **overrides):
+    """EfficientDetConfig with the published per-variant scaling."""
+    size, channels, fpn_r, head_r = LITE_DET_SCALING[variant]
+    return EfficientDetConfig(variant=variant, input_size=size,
+                              fpn_channels=channels, fpn_repeats=fpn_r,
+                              head_repeats=head_r)._replace(**overrides)
+
+
 class EfficientDetConfig(NamedTuple):
     num_classes: int = 90
     variant: str = 'lite0'

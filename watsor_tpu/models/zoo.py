@@ -29,8 +29,8 @@ def _build_effdet(config, rng=None, params=None):
 
 
 def _effdet_config(variant='lite0'):
-    from watsor_tpu.models.efficientdet import EfficientDetConfig
-    return EfficientDetConfig(variant=variant)
+    from watsor_tpu.models.efficientdet import lite_config
+    return lite_config(variant)
 
 
 # model stem -> (builder, config); configs for effdet are built lazily to
@@ -105,8 +105,12 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
     ``TRT_FLOAT_PRECISION=32|16`` knob, /root/reference/watsor/engine.py:25-26).
     ``nms_mode``: 'fused' (gather-free fast path) or 'exact' (greedy
     per-class parity mode), for configs that support it."""
-    builder, config = MODEL_REGISTRY.get(name,
-                                         (build_detector, SSDConfig()))
+    builder, config = MODEL_REGISTRY.get(name, (None, None))
+    if builder is None:
+        if name.startswith('efficientdet_'):
+            builder = _build_effdet        # any lite variant (lite0/1/2)
+        else:
+            builder, config = build_detector, SSDConfig()
     if config is None and name.startswith('efficientdet_'):
         config = _effdet_config(name.split('_', 1)[1])
     if active_labels and hasattr(config, 'active_labels'):
