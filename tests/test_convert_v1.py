@@ -18,8 +18,11 @@ from tests.test_convert_head import _keras_layers, _randomize, \
     _write_checkpoint  # noqa: E402
 
 NUM_CLASSES = 90
+# the public ssd_mobilenet_v1_coco pipeline uses 1x1 predictor convs
+# (kernel_size: 1), unlike v2's 3x3 — the converter must infer it
+HEAD_KERNEL = 1
 CFG = SSDConfig(num_classes=NUM_CLASSES, backbone='mobilenet_v1',
-                dtype=jnp.float32)
+                head_kernel=HEAD_KERNEL, dtype=jnp.float32)
 
 
 _V1_UNITS = ((1, 64), (2, 128), (1, 128), (2, 256), (1, 256), (2, 512),
@@ -69,9 +72,10 @@ def _build_tf_ssd_v1():
     npl = anchors_per_location(CFG.anchor_spec)
     box_outs, cls_outs = [], []
     for i, (feat, n) in enumerate(zip(feats, npl)):
-        b = layers.Conv2D(n * 4, 3, padding='same',
+        b = layers.Conv2D(n * 4, HEAD_KERNEL, padding='same',
                           name='box_head{}'.format(i))(feat)
-        c = layers.Conv2D(n * (NUM_CLASSES + 1), 3, padding='same',
+        c = layers.Conv2D(n * (NUM_CLASSES + 1), HEAD_KERNEL,
+                          padding='same',
                           name='cls_head{}'.format(i))(feat)
         box_outs.append(layers.Reshape((-1, 4))(b))
         cls_outs.append(layers.Reshape((-1, NUM_CLASSES + 1))(c))
@@ -126,6 +130,7 @@ def test_v1_checkpoint_converts_and_matches_tf_outputs(tmp_path):
     variables, config = convert_tf_od_checkpoint(prefix)
     assert config.backbone == 'mobilenet_v1'
     assert config.num_classes == NUM_CLASSES
+    assert config.head_kernel == HEAD_KERNEL
 
     rng = np.random.default_rng(42)
     image = rng.uniform(-1.0, 1.0, (1, 300, 300, 3)).astype(np.float32)

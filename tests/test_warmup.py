@@ -64,9 +64,12 @@ def test_warmup_from_config_matches_serving_program(tiny_model, tmp_path,
     warmup.main(['-m', tiny_model, '-c', str(config_file),
                  '--cache-dir', str(tmp_path / 'cache')])
     printed = capsys.readouterr().out
+    # one camera: buckets 1 and 2 (a camera can contribute two frames to
+    # one batch via the gather window), but never 4+
     assert 'batch   1:' in printed
-    assert 'batch   2:' not in printed, \
-        'one camera can never form a batch of 2 — bucket not trimmed'
+    assert 'batch   2:' in printed
+    assert 'batch   4:' not in printed, \
+        'one camera can never need bucket 4 — buckets not trimmed'
 
     # the spec the app derives must agree with what warmup used
     import argparse

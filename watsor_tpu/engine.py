@@ -52,13 +52,11 @@ def main(argv=None):
         stem = os.path.splitext(os.path.basename(args.model_path))[0]
         if stem in MODEL_REGISTRY:
             warmup_args += ['-m', stem]
-        elif os.path.isdir(os.path.dirname(args.model_path) or '.'):
+        else:
             # a weight-file path: its directory is the model dir
             warmup_args += ['--model-path',
                             os.path.dirname(os.path.abspath(
                                 args.model_path))]
-            if stem in MODEL_REGISTRY:
-                warmup_args += ['-m', stem]
     print('Compiling the detection step into the XLA cache at {} '
           '(the TPU analog of the TensorRT engine build).'
           .format(cache_dir))

@@ -303,15 +303,26 @@ class Application:
                 detector = detector._replace(params=q_params,
                                              detect_batch=quantized_step)
                 _LOGGER.info('Weights quantized to int8')
-            elif quantize_mode == 'int8_full' and \
-                    model_name.startswith('ssd_'):
+            elif quantize_mode == 'int8_full':
                 # full int8 activations: every backbone/extras conv runs
-                # int8 on the MXU (models/ssd_int8.py). Calibration frames
-                # from WATSOR_CALIB_FILE (npz with 'images' [N,H,W,3] u8),
-                # else random noise with a warning.
+                # int8 on the MXU (models/ssd_int8.py, MobileNetV2 SSD
+                # only). Calibration frames from WATSOR_CALIB_FILE (npz
+                # with 'images' [N,H,W,3] u8), else random noise with a
+                # warning.
+                if getattr(detector.config, 'backbone', '') != \
+                        'mobilenet_v2':
+                    raise SystemExit(
+                        'WATSOR_QUANTIZE=int8_full supports the '
+                        'ssd_mobilenet_v2 family only (got {})'.format(
+                            model_name))
                 import numpy as _np
                 calib_file = os.environ.get('WATSOR_CALIB_FILE')
-                if calib_file and os.path.exists(calib_file):
+                if calib_file:
+                    if not os.path.exists(calib_file):
+                        raise SystemExit(
+                            'WATSOR_CALIB_FILE={} does not exist — refusing '
+                            'to silently calibrate on noise'.format(
+                                calib_file))
                     with _np.load(calib_file) as data:
                         calib = data['images']
                 else:
@@ -326,6 +337,19 @@ class Application:
                 from watsor_tpu.models.ssd_int8 import build_int8_detector
                 detector = build_int8_detector(detector, calib)
                 _LOGGER.info('Full int8-activation inference enabled')
+            if os.environ.get('WATSOR_FUSED_BLOCKS') == '1' and \
+                    quantize_mode != 'int8_full':
+                # experimental fused inverted-residual Pallas blocks
+                # (measured slower than XLA on v5e — BENCHMARKS.md)
+                if getattr(detector.config, 'backbone', '') != \
+                        'mobilenet_v2':
+                    raise SystemExit(
+                        'WATSOR_FUSED_BLOCKS=1 supports the '
+                        'ssd_mobilenet_v2 family only')
+                from watsor_tpu.models.ssd_fused import build_fused_detector
+                detector = build_fused_detector(detector)
+                _LOGGER.info('Fused inverted-residual blocks enabled '
+                             '(experimental)')
             self.DETECT_SIZE = detector.config.input_size
             _LOGGER.info('Detection model: %s (input %dx%d, %s classes)',
                          model_name, self.DETECT_SIZE, self.DETECT_SIZE,

@@ -169,6 +169,27 @@ def _slim_head(variables, scope):
         raise MissingVariable(str(e))
 
 
+def _make_put(variables, params, stats):
+    """Shared nested-path inserter for the slim mappers."""
+    def put(path, scope, depthwise=False):
+        p, s = _slim_conv_bn(variables, scope, depthwise)
+        node_p, node_s = params, stats
+        for part in path[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p[path[-1]] = p
+        node_s[path[-1]] = s
+    return put
+
+
+def _put_heads(variables, params, n_layers):
+    for i in range(n_layers):
+        params['box_head{}'.format(i)] = _slim_head(
+            variables, 'BoxPredictor_{}/BoxEncodingPredictor'.format(i))
+        params['cls_head{}'.format(i)] = _slim_head(
+            variables, 'BoxPredictor_{}/ClassPredictor'.format(i))
+
+
 def tf_od_variables_to_flax(variables, config=None):
     """Map a TF-OD-API SSD-MobileNetV2 variable dict {name: array} to the
     flax variables tree of watsor_tpu.models.ssd.SSD.
@@ -180,15 +201,7 @@ def tf_od_variables_to_flax(variables, config=None):
 
     params = {}
     stats = {}
-
-    def put(path, scope, depthwise=False):
-        p, s = _slim_conv_bn(variables, scope, depthwise)
-        node_p, node_s = params, stats
-        for part in path[:-1]:
-            node_p = node_p.setdefault(part, {})
-            node_s = node_s.setdefault(part, {})
-        node_p[path[-1]] = p
-        node_s[path[-1]] = s
+    put = _make_put(variables, params, stats)
 
     # backbone
     put(('backbone', 'stem'), _MOBILENET_ROOT + 'Conv')
@@ -221,14 +234,7 @@ def tf_od_variables_to_flax(variables, config=None):
             _MOBILENET_ROOT + 'layer_19_2_Conv2d_{}_3x3_s2_{}'.format(
                 i + 2, ch))
 
-    # box/class conv heads
-    n_layers = cfg.anchor_spec.num_layers
-    for i in range(n_layers):
-        params['box_head{}'.format(i)] = _slim_head(
-            variables, 'BoxPredictor_{}/BoxEncodingPredictor'.format(i))
-        params['cls_head{}'.format(i)] = _slim_head(
-            variables, 'BoxPredictor_{}/ClassPredictor'.format(i))
-
+    _put_heads(variables, params, cfg.anchor_spec.num_layers)
     return {'params': params, 'batch_stats': stats}
 
 
@@ -254,15 +260,7 @@ def tf_od_v1_variables_to_flax(variables, config=None):
 
     params = {}
     stats = {}
-
-    def put(path, scope, depthwise=False):
-        p, s = _slim_conv_bn(variables, scope, depthwise)
-        node_p, node_s = params, stats
-        for part in path[:-1]:
-            node_p = node_p.setdefault(part, {})
-            node_s = node_s.setdefault(part, {})
-        node_p[path[-1]] = p
-        node_s[path[-1]] = s
+    put = _make_put(variables, params, stats)
 
     put(('backbone', 'stem'), _MOBILENET_V1_ROOT + 'Conv2d_0')
     for n in range(1, 14):
@@ -280,13 +278,17 @@ def tf_od_v1_variables_to_flax(variables, config=None):
             _MOBILENET_V1_ROOT +
             'Conv2d_13_pointwise_2_Conv2d_{}_3x3_s2_{}'.format(i + 2, ch))
 
-    for i in range(cfg.anchor_spec.num_layers):
-        params['box_head{}'.format(i)] = _slim_head(
-            variables, 'BoxPredictor_{}/BoxEncodingPredictor'.format(i))
-        params['cls_head{}'.format(i)] = _slim_head(
-            variables, 'BoxPredictor_{}/ClassPredictor'.format(i))
-
+    _put_heads(variables, params, cfg.anchor_spec.num_layers)
     return {'params': params, 'batch_stats': stats}
+
+
+def infer_head_kernel(variables):
+    """The predictors' conv size from the checkpoint's weight shapes
+    (public v2 uses 3x3, public v1 uses 1x1)."""
+    weights = variables.get('BoxPredictor_0/BoxEncodingPredictor/weights')
+    if weights is None:
+        raise MissingVariable('BoxPredictor_0/BoxEncodingPredictor/weights')
+    return int(np.asarray(weights).shape[0])
 
 
 def infer_num_classes(variables, anchors_layer0=3):
@@ -335,6 +337,7 @@ def convert_tf_od_checkpoint(checkpoint_path, config=None):
     is_v1 = any(name.startswith(_MOBILENET_V1_ROOT) for name in variables)
     if config is None:
         config = SSDConfig(num_classes=infer_num_classes(variables),
+                           head_kernel=infer_head_kernel(variables),
                            backbone='mobilenet_v1' if is_v1
                            else 'mobilenet_v2')
     if config.backbone == 'mobilenet_v1':

@@ -30,11 +30,17 @@ LITE_DET_SCALING = {
     'lite0': (320, 64, 3, 3),
     'lite1': (384, 88, 4, 3),
     'lite2': (448, 112, 5, 3),
+    'lite3': (512, 160, 6, 4),
+    'lite4': (640, 224, 7, 4),
 }
 
 
 def lite_config(variant='lite0', **overrides):
     """EfficientDetConfig with the published per-variant scaling."""
+    if variant not in LITE_DET_SCALING:
+        raise ValueError(
+            'unknown EfficientDet-Lite variant {!r}; supported: {}'.format(
+                variant, ', '.join(sorted(LITE_DET_SCALING))))
     size, channels, fpn_r, head_r = LITE_DET_SCALING[variant]
     return EfficientDetConfig(variant=variant, input_size=size,
                               fpn_channels=channels, fpn_repeats=fpn_r,

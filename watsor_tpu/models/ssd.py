@@ -32,6 +32,10 @@ class SSDConfig(NamedTuple):
     # 'mobilenet_v2' (default) or 'mobilenet_v1' — the two SSD families the
     # reference documents for every backend (/root/reference/README.md:446)
     backbone: str = 'mobilenet_v2'
+    # box/class predictor conv size: the public v2 checkpoint uses 3x3,
+    # the public v1 checkpoint 1x1 (TF-OD pipeline `kernel_size`); the
+    # converter infers it from the checkpoint's head weight shapes
+    head_kernel: int = 3
     width_multiplier: float = 1.0
     extra_features: Tuple[int, ...] = (512, 256, 256, 128)
     anchor_spec: AnchorSpec = AnchorSpec()
@@ -82,10 +86,11 @@ class SSD(nn.Module):
         assert len(features) == len(npl)
         box_out, cls_out = [], []
         num_cls = cfg.num_classes + 1
+        hk = (cfg.head_kernel, cfg.head_kernel)
         for i, (feat, n) in enumerate(zip(features, npl)):
-            b = nn.Conv(n * 4, (3, 3), padding='SAME', dtype=cfg.dtype,
+            b = nn.Conv(n * 4, hk, padding='SAME', dtype=cfg.dtype,
                         name=f'box_head{i}')(feat)
-            c = nn.Conv(n * num_cls, (3, 3), padding='SAME', dtype=cfg.dtype,
+            c = nn.Conv(n * num_cls, hk, padding='SAME', dtype=cfg.dtype,
                         name=f'cls_head{i}')(feat)
             B = feat.shape[0]
             box_out.append(b.reshape(B, -1, 4))

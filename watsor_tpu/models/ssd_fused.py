@@ -9,8 +9,8 @@ weight sources (checkpoint conversion, training) stay unchanged.
     detector = build_detector(cfg, params=...)
     fdetector = build_fused_detector(detector)   # same Detector contract
 
-Enabled in the application with WATSOR_FUSED_BLOCKS=1 (see main.py);
-numbers in BENCHMARKS.md decide the default.
+Enabled in the application with WATSOR_FUSED_BLOCKS=1 (wired in main.py;
+MobileNetV2 SSD only); BENCHMARKS.md numbers keep XLA the default.
 """
 
 from typing import Any
@@ -114,6 +114,8 @@ def fused_features(pack, x, cfg: SSDConfig):
 
 def build_fused_detector(detector: Detector) -> Detector:
     cfg = detector.config
+    assert getattr(cfg, 'backbone', 'mobilenet_v2') == 'mobilenet_v2', \
+        'fused walk covers the MobileNetV2 SSD family only'
     assert cfg.width_multiplier == 1.0, \
         'fused walk currently assumes the width-1.0 channel plan'
     pack = build_folded_pack(detector)

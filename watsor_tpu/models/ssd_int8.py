@@ -63,11 +63,12 @@ def fold_unit(unit_params, unit_stats):
 
 
 def _quantize_kernel(kernel):
-    """Per-output-channel symmetric int8."""
-    absmax = np.abs(kernel).reshape(-1, kernel.shape[-1]).max(axis=0)
-    scales = np.where(absmax == 0.0, 1.0, absmax / 127.0).astype(np.float32)
-    q = np.clip(np.round(kernel / scales), -127, 127).astype(np.int8)
-    return q, scales
+    """Per-output-channel symmetric int8 — the single quantizer from
+    models/quantize.py applied to one (always 4-D, BN-folded) kernel."""
+    from watsor_tpu.models.quantize import quantize_params
+    leaf = quantize_params({'kernel': np.asarray(kernel, np.float32)})[
+        'kernel']
+    return np.asarray(leaf.values), np.asarray(leaf.scales)
 
 
 class QUnit(NamedTuple):
@@ -260,6 +261,8 @@ def build_int8_detector(detector: Detector, calibration_images_u8,
     """Float detector + calibration frames -> a Detector whose
     detect_batch runs the int8 forward (same output contract)."""
     cfg = detector.config
+    assert getattr(cfg, 'backbone', 'mobilenet_v2') == 'mobilenet_v2', \
+        'int8 walk covers the MobileNetV2 SSD family only'
     assert cfg.width_multiplier == 1.0, \
         'int8 walk currently assumes the width-1.0 channel plan'
     absmax = calibrate(detector, calibration_images_u8)

@@ -120,6 +120,16 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
     if nms_mode is not None and hasattr(config, 'nms_mode'):
         config = config._replace(nms_mode=nms_mode)
     params = load_weights(model_path, name)
+    if params is not None and hasattr(config, 'head_kernel'):
+        # adopt the stored weights' predictor conv size (public v2
+        # checkpoints use 3x3 heads, public v1 checkpoints 1x1)
+        try:
+            k = int(np.asarray(
+                params['params']['box_head0']['kernel']).shape[0])
+            if k != config.head_kernel:
+                config = config._replace(head_kernel=k)
+        except (KeyError, TypeError, IndexError):
+            pass
     if params is None:
         _LOGGER.warning(
             "No weights for '%s' under %s — using random initialization "

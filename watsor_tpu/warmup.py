@@ -66,16 +66,17 @@ def main(argv=None):
                            _os.path.dirname(_os.path.abspath(args.config)))
         name, active_labels, nms_mode = detector_spec_from_config(
             config, args)
-        # only the buckets this deployment can produce: the batch holds at
-        # most one frame per camera (compiling bucket 64 for a 3-camera
-        # config would waste minutes of AOT time)
+        # trim buckets to what this deployment can plausibly produce.
+        # A camera CAN contribute more than one frame to a batch (its
+        # queue quota releases on get() and the detector's gather window
+        # stays open a few ms), so allow 2x headroom over the camera
+        # count, rounded up to the runtime's bucket sizes — compiling
+        # bucket 64 for a 3-camera config would still waste minutes.
+        from watsor_tpu.detection.backend import _bucket
         n_cameras = len(config['cameras'])
-        args.batches = sorted({b for b in args.batches if b <= n_cameras}
-                              | {min(min(args.batches), n_cameras)}
-                              | ({min(b for b in args.batches
-                                      if b >= n_cameras)}
-                                 if any(b >= n_cameras for b in args.batches)
-                                 else set()))
+        need = _bucket(min(max(2 * n_cameras, 1), max(args.batches)))
+        args.batches = sorted({b for b in args.batches if b <= need}
+                              | {need})
     dtype = jnp.float32 if args.precision == 32 else None
     detector = build_from_zoo(name, args.model_path, dtype=dtype,
                               active_labels=active_labels,
