@@ -310,10 +310,11 @@ class Application:
                 # with 'images' [N,H,W,3] u8), else random noise with a
                 # warning.
                 if getattr(detector.config, 'backbone', '') != \
-                        'mobilenet_v2':
+                        'mobilenet_v2' or \
+                        getattr(detector.config, 'lite', False):
                     raise SystemExit(
-                        'WATSOR_QUANTIZE=int8_full supports the '
-                        'ssd_mobilenet_v2 family only (got {})'.format(
+                        'WATSOR_QUANTIZE=int8_full supports the plain '
+                        'ssd_mobilenet_v2 model only (got {})'.format(
                             model_name))
                 import numpy as _np
                 calib_file = os.environ.get('WATSOR_CALIB_FILE')
@@ -342,10 +343,11 @@ class Application:
                 # experimental fused inverted-residual Pallas blocks
                 # (measured slower than XLA on v5e — BENCHMARKS.md)
                 if getattr(detector.config, 'backbone', '') != \
-                        'mobilenet_v2':
+                        'mobilenet_v2' or \
+                        getattr(detector.config, 'lite', False):
                     raise SystemExit(
-                        'WATSOR_FUSED_BLOCKS=1 supports the '
-                        'ssd_mobilenet_v2 family only')
+                        'WATSOR_FUSED_BLOCKS=1 supports the plain '
+                        'ssd_mobilenet_v2 model only')
                 from watsor_tpu.models.ssd_fused import build_fused_detector
                 detector = build_fused_detector(detector)
                 _LOGGER.info('Fused inverted-residual blocks enabled '

@@ -225,15 +225,27 @@ def tf_od_variables_to_flax(variables, config=None):
         put(('backbone', block, 'project'), scope + '/project')
     put(('backbone', 'head'), _MOBILENET_ROOT + 'Conv_1')
 
-    # extras ladder: layer_19_{1,2}_Conv2d_{2..5}
+    # extras ladder: layer_19_{1,2}_Conv2d_{2..5}; SSDLite checkpoints
+    # (use_depthwise) split the 3x3 stage into _depthwise + 1x1 scopes
+    lite = getattr(cfg, 'lite', False)
     for i, ch in enumerate(cfg.extra_features):
         put(('extra{}_pw'.format(i),),
             _MOBILENET_ROOT + 'layer_19_1_Conv2d_{}_1x1_{}'.format(
                 i + 2, ch // 2))
-        put(('extra{}'.format(i),),
-            _MOBILENET_ROOT + 'layer_19_2_Conv2d_{}_3x3_s2_{}'.format(
-                i + 2, ch))
+        scope = _MOBILENET_ROOT + 'layer_19_2_Conv2d_{}_3x3_s2_{}'.format(
+            i + 2, ch)
+        if lite:
+            put(('extra{}_dw'.format(i),), scope + '_depthwise',
+                depthwise=True)
+        put(('extra{}'.format(i),), scope)
 
+    if lite:
+        for i in range(cfg.anchor_spec.num_layers):
+            for head, slim in (('box_head', 'BoxEncodingPredictor'),
+                               ('cls_head', 'ClassPredictor')):
+                put(('{}{}_dw'.format(head, i),),
+                    'BoxPredictor_{}/{}_depthwise'.format(i, slim),
+                    depthwise=True)
     _put_heads(variables, params, cfg.anchor_spec.num_layers)
     return {'params': params, 'batch_stats': stats}
 
@@ -335,9 +347,16 @@ def convert_tf_od_checkpoint(checkpoint_path, config=None):
     from watsor_tpu.models.ssd import SSDConfig
     variables = load_tf_checkpoint_variables(checkpoint_path)
     is_v1 = any(name.startswith(_MOBILENET_V1_ROOT) for name in variables)
+    lite_dw = 'BoxPredictor_0/BoxEncodingPredictor_depthwise/' \
+              'depthwise_weights'
+    is_lite = lite_dw in variables
     if config is None:
+        if is_lite:
+            head_kernel = int(np.asarray(variables[lite_dw]).shape[0])
+        else:
+            head_kernel = infer_head_kernel(variables)
         config = SSDConfig(num_classes=infer_num_classes(variables),
-                           head_kernel=infer_head_kernel(variables),
+                           head_kernel=head_kernel, lite=is_lite,
                            backbone='mobilenet_v1' if is_v1
                            else 'mobilenet_v2')
     if config.backbone == 'mobilenet_v1':
@@ -367,8 +386,11 @@ def main(argv=None):
 
     variables, config = convert_tf_od_checkpoint(args.checkpoint)
     name = args.name
-    if name == 'ssd_mobilenet_v2' and config.backbone == 'mobilenet_v1':
-        name = 'ssd_mobilenet_v1'    # default name follows the detection
+    if name == 'ssd_mobilenet_v2':   # default name follows the detection
+        if config.backbone == 'mobilenet_v1':
+            name = 'ssd_mobilenet_v1'
+        elif getattr(config, 'lite', False):
+            name = 'ssdlite_mobilenet_v2'
     from watsor_tpu.models.zoo import save_weights
     path = save_weights(variables, args.output, name)
     print('wrote {} ({} classes, input {}x{})'.format(

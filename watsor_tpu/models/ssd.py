@@ -36,6 +36,10 @@ class SSDConfig(NamedTuple):
     # the public v1 checkpoint 1x1 (TF-OD pipeline `kernel_size`); the
     # converter infers it from the checkpoint's head weight shapes
     head_kernel: int = 3
+    # SSDLite (use_depthwise in the TF-OD configs, e.g. the public
+    # ssdlite_mobilenet_v2_coco checkpoint): separable 3x3 convs in the
+    # extras' second stage and in the predictors
+    lite: bool = False
     width_multiplier: float = 1.0
     extra_features: Tuple[int, ...] = (512, 256, 256, 128)
     anchor_spec: AnchorSpec = AnchorSpec()
@@ -78,8 +82,16 @@ class SSD(nn.Module):
         for i, ch in enumerate(cfg.extra_features):
             x = ConvBNRelu6(ch // 2, (1, 1), dtype=cfg.dtype,
                             name=f'extra{i}_pw')(x, train)
-            x = ConvBNRelu6(ch, (3, 3), strides=2, dtype=cfg.dtype,
-                            name=f'extra{i}')(x, train)
+            if cfg.lite:
+                # separable 3x3 s2: depthwise + pointwise (SSDLite extras)
+                x = ConvBNRelu6(x.shape[-1], (3, 3), strides=2,
+                                groups=x.shape[-1], dtype=cfg.dtype,
+                                name=f'extra{i}_dw')(x, train)
+                x = ConvBNRelu6(ch, (1, 1), dtype=cfg.dtype,
+                                name=f'extra{i}')(x, train)
+            else:
+                x = ConvBNRelu6(ch, (3, 3), strides=2, dtype=cfg.dtype,
+                                name=f'extra{i}')(x, train)
             features.append(x)
 
         npl = anchors_per_location(cfg.anchor_spec)
@@ -88,10 +100,23 @@ class SSD(nn.Module):
         num_cls = cfg.num_classes + 1
         hk = (cfg.head_kernel, cfg.head_kernel)
         for i, (feat, n) in enumerate(zip(features, npl)):
-            b = nn.Conv(n * 4, hk, padding='SAME', dtype=cfg.dtype,
-                        name=f'box_head{i}')(feat)
-            c = nn.Conv(n * num_cls, hk, padding='SAME', dtype=cfg.dtype,
-                        name=f'cls_head{i}')(feat)
+            bf, cf = feat, feat
+            if cfg.lite:
+                # SSDLite predictors: depthwise 3x3 (BN+relu6) feeding a
+                # 1x1 linear conv with bias
+                bf = ConvBNRelu6(feat.shape[-1], hk, groups=feat.shape[-1],
+                                 dtype=cfg.dtype,
+                                 name=f'box_head{i}_dw')(feat, train)
+                cf = ConvBNRelu6(feat.shape[-1], hk, groups=feat.shape[-1],
+                                 dtype=cfg.dtype,
+                                 name=f'cls_head{i}_dw')(feat, train)
+                hk_out = (1, 1)
+            else:
+                hk_out = hk
+            b = nn.Conv(n * 4, hk_out, padding='SAME', dtype=cfg.dtype,
+                        name=f'box_head{i}')(bf)
+            c = nn.Conv(n * num_cls, hk_out, padding='SAME', dtype=cfg.dtype,
+                        name=f'cls_head{i}')(cf)
             B = feat.shape[0]
             box_out.append(b.reshape(B, -1, 4))
             cls_out.append(c.reshape(B, -1, num_cls))

@@ -114,8 +114,9 @@ def fused_features(pack, x, cfg: SSDConfig):
 
 def build_fused_detector(detector: Detector) -> Detector:
     cfg = detector.config
-    assert getattr(cfg, 'backbone', 'mobilenet_v2') == 'mobilenet_v2', \
-        'fused walk covers the MobileNetV2 SSD family only'
+    assert getattr(cfg, 'backbone', 'mobilenet_v2') == 'mobilenet_v2' \
+        and not getattr(cfg, 'lite', False), \
+        'fused walk covers the plain MobileNetV2 SSD only'
     assert cfg.width_multiplier == 1.0, \
         'fused walk currently assumes the width-1.0 channel plan'
     pack = build_folded_pack(detector)

@@ -261,8 +261,9 @@ def build_int8_detector(detector: Detector, calibration_images_u8,
     """Float detector + calibration frames -> a Detector whose
     detect_batch runs the int8 forward (same output contract)."""
     cfg = detector.config
-    assert getattr(cfg, 'backbone', 'mobilenet_v2') == 'mobilenet_v2', \
-        'int8 walk covers the MobileNetV2 SSD family only'
+    assert getattr(cfg, 'backbone', 'mobilenet_v2') == 'mobilenet_v2' \
+        and not getattr(cfg, 'lite', False), \
+        'int8 walk covers the plain MobileNetV2 SSD only'
     assert cfg.width_multiplier == 1.0, \
         'int8 walk currently assumes the width-1.0 channel plan'
     absmax = calibrate(detector, calibration_images_u8)

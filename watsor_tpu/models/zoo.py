@@ -39,6 +39,7 @@ MODEL_REGISTRY = {
     'ssd_mobilenet_v2': (build_detector, SSDConfig()),
     'ssd_mobilenet_v1': (build_detector,
                          SSDConfig(backbone='mobilenet_v1')),
+    'ssdlite_mobilenet_v2': (build_detector, SSDConfig(lite=True)),
     'ssd_mobilenet_v2_shapes': (build_detector, SSDConfig(num_classes=3)),
     'efficientdet_lite0': (_build_effdet, None),
 }
@@ -121,11 +122,17 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
         config = config._replace(nms_mode=nms_mode)
     params = load_weights(model_path, name)
     if params is not None and hasattr(config, 'head_kernel'):
-        # adopt the stored weights' predictor conv size (public v2
-        # checkpoints use 3x3 heads, public v1 checkpoints 1x1)
+        # adopt the stored weights' predictor geometry: conv size (public
+        # v2 checkpoints use 3x3 heads, v1 1x1) and SSDLite separable heads
         try:
-            k = int(np.asarray(
-                params['params']['box_head0']['kernel']).shape[0])
+            tree = params['params']
+            if 'box_head0_dw' in tree:
+                if hasattr(config, 'lite') and not config.lite:
+                    config = config._replace(lite=True)
+                k = int(np.asarray(tree['box_head0_dw']['Conv_0']
+                                   ['kernel']).shape[0])
+            else:
+                k = int(np.asarray(tree['box_head0']['kernel']).shape[0])
             if k != config.head_kernel:
                 config = config._replace(head_kernel=k)
         except (KeyError, TypeError, IndexError):
