@@ -107,20 +107,21 @@ def test_mqtt_availability_and_states_flow(rig):
 def test_mqtt_fps_command_reaches_decoder(rig):
     url, broker, app = rig
     assert broker.wait_subscribed('watsor/cameras/cam_a/command', timeout=30)
-    broker.publish('watsor/cameras/cam_a/command', 'FPS = 4')
     camera = app._camera_by_name('cam_a')
-    # generous deadline: the suite runs on one loaded CPU core, and the
-    # command crosses broker socket -> client thread -> rate limiter
-    deadline = time.time() + 30
-    while camera.decoder.rate_limiter.rate != 4 and time.time() < deadline:
-        time.sleep(0.05)
-    assert camera.decoder.rate_limiter.rate == 4
-    broker.publish('watsor/cameras/cam_a/command', 'FPS = 0')
-    # restore
-    deadline = time.time() + 30
-    while camera.decoder.rate_limiter.rate != 0 and time.time() < deadline:
-        time.sleep(0.05)
-    assert camera.decoder.rate_limiter.rate == 0
+
+    def command_until(text, value, timeout=45):
+        # QoS-0 commands can be lost if the client reconnects between the
+        # subscription check and the publish (loaded single core);
+        # re-publishing while polling models an operator/HA retry
+        deadline = time.time() + timeout
+        while camera.decoder.rate_limiter.rate != value and \
+                time.time() < deadline:
+            broker.publish('watsor/cameras/cam_a/command', text)
+            time.sleep(1.0)
+        return camera.decoder.rate_limiter.rate == value
+
+    assert command_until('FPS = 4', 4), 'FPS command never took effect'
+    assert command_until('FPS = 0', 0), 'FPS restore never took effect'
     camera.rate_limiter.unlimited()
 
 

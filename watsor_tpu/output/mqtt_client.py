@@ -162,7 +162,13 @@ class MqttClient:
     def _read_loop(self):
         try:
             while not self._stopping:
-                header, data = self._recv_packet()
+                try:
+                    header, data = self._recv_packet()
+                except socket.timeout:
+                    # a quiet broker is not a dead broker — the pinger
+                    # keeps the session alive; tearing down here caused
+                    # spurious reconnects under host starvation
+                    continue
                 packet_type = header & 0xF0
                 if packet_type == PUBLISH:
                     self._handle_publish(header, data)
