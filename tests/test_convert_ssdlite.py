@@ -71,6 +71,16 @@ def _slim_variables_lite(model):
     out = _slim_variables(model)   # backbone + pw extras + final heads;
     layer = {l.name: l for l in model.layers}
     root = 'FeatureExtractor/MobilenetV2/'
+
+    def unit(scope, conv_name, bn_name, depthwise=False):
+        out[scope + ('/depthwise_weights' if depthwise else '/weights')] = \
+            layer[conv_name].get_weights()[0]
+        gamma, beta, mean, var = layer[bn_name].get_weights()
+        out[scope + '/BatchNorm/gamma'] = gamma
+        out[scope + '/BatchNorm/beta'] = beta
+        out[scope + '/BatchNorm/moving_mean'] = mean
+        out[scope + '/BatchNorm/moving_variance'] = var
+
     # drop the dense-3x3 extras entries the v2 helper guessed (absent in
     # a lite checkpoint), then write the separable ones
     for i, ch in enumerate(CFG.extra_features):
@@ -78,33 +88,15 @@ def _slim_variables_lite(model):
         for name in list(out):
             if name.startswith(scope) and '_depthwise' not in name:
                 del out[name]
-
-        def unit(scope, conv_name, bn_name, depthwise=False):
-            kernel = layer[conv_name].get_weights()[0]
-            key = scope + ('/depthwise_weights' if depthwise
-                           else '/weights')
-            out[key] = kernel
-            gamma, beta, mean, var = layer[bn_name].get_weights()
-            out[scope + '/BatchNorm/gamma'] = gamma
-            out[scope + '/BatchNorm/beta'] = beta
-            out[scope + '/BatchNorm/moving_mean'] = mean
-            out[scope + '/BatchNorm/moving_variance'] = var
-
         unit(scope + '_depthwise', 'ex{}_dw'.format(i),
              'ex{}_dw_bn'.format(i), depthwise=True)
         unit(scope, 'ex{}_conv'.format(i), 'ex{}_bn'.format(i))
     for i in range(CFG.anchor_spec.num_layers):
         for head, slim in (('box_head', 'BoxEncodingPredictor'),
                            ('cls_head', 'ClassPredictor')):
-            scope = 'BoxPredictor_{}/{}_depthwise'.format(i, slim)
-            kernel = layer['{}{}_dw'.format(head, i)].get_weights()[0]
-            out[scope + '/depthwise_weights'] = kernel
-            gamma, beta, mean, var = \
-                layer['{}{}_dw_bn'.format(head, i)].get_weights()
-            out[scope + '/BatchNorm/gamma'] = gamma
-            out[scope + '/BatchNorm/beta'] = beta
-            out[scope + '/BatchNorm/moving_mean'] = mean
-            out[scope + '/BatchNorm/moving_variance'] = var
+            unit('BoxPredictor_{}/{}_depthwise'.format(i, slim),
+                 '{}{}_dw'.format(head, i), '{}{}_dw_bn'.format(head, i),
+                 depthwise=True)
     return out
 
 
@@ -140,3 +132,18 @@ def test_ssdlite_zoo_entry_builds_and_detects():
     images = jnp.asarray(rng.integers(0, 255, (1, 300, 300, 3), np.uint8))
     out = det.detect_batch(det.params, images)
     assert out.boxes.shape == (1, det.config.max_detections, 4)
+
+
+def test_plain_weights_under_lite_name_downgrade(tmp_path):
+    """Weights decide the head geometry in BOTH directions: plain (dense)
+    v2 weights stored under the ssdlite name must build and apply."""
+    from watsor_tpu.models.zoo import build_from_zoo, save_weights
+    det = build_detector(SSDConfig(dtype=jnp.float32))
+    save_weights(det.params, str(tmp_path), 'ssdlite_mobilenet_v2')
+    loaded = build_from_zoo('ssdlite_mobilenet_v2', str(tmp_path),
+                            dtype=jnp.float32)
+    assert not loaded.config.lite
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 300, 300, 3)).astype(np.float32))
+    boxes, logits = loaded.raw_apply(loaded.params, x)
+    assert boxes.shape[-1] == 4

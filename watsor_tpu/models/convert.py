@@ -350,6 +350,11 @@ def convert_tf_od_checkpoint(checkpoint_path, config=None):
     lite_dw = 'BoxPredictor_0/BoxEncodingPredictor_depthwise/' \
               'depthwise_weights'
     is_lite = lite_dw in variables
+    if is_lite and is_v1:
+        raise ValueError(
+            'SSDLite-on-MobileNetV1 checkpoints are not supported (the v1 '
+            'mapper covers the dense predictor layout only); retrain with '
+            'use_depthwise off or use the MobileNetV2 SSDLite')
     if config is None:
         if is_lite:
             head_kernel = int(np.asarray(variables[lite_dw]).shape[0])

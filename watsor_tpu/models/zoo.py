@@ -126,9 +126,12 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
         # v2 checkpoints use 3x3 heads, v1 1x1) and SSDLite separable heads
         try:
             tree = params['params']
-            if 'box_head0_dw' in tree:
-                if hasattr(config, 'lite') and not config.lite:
-                    config = config._replace(lite=True)
+            stored_lite = 'box_head0_dw' in tree
+            if hasattr(config, 'lite') and config.lite != stored_lite:
+                # weights decide (both directions: plain weights under a
+                # lite name and vice versa must still apply cleanly)
+                config = config._replace(lite=stored_lite)
+            if stored_lite:
                 k = int(np.asarray(tree['box_head0_dw']['Conv_0']
                                    ['kernel']).shape[0])
             else:

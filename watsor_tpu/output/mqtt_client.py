@@ -38,6 +38,11 @@ class MqttError(IOError):
     pass
 
 
+class _IdleTimeout(Exception):
+    """recv timed out BEFORE any byte of a packet was consumed — the
+    stream is still in sync, the broker is merely quiet."""
+
+
 class MqttClient:
     """Blocking connect; background reader thread; thread-safe publish."""
 
@@ -58,6 +63,7 @@ class MqttClient:
         self._connected = threading.Event()
         self._stopping = False
         self._packet_id = 0
+        self._last_rx = time.monotonic()
 
     # -- wire helpers ------------------------------------------------------
 
@@ -77,7 +83,13 @@ class MqttClient:
         return data
 
     def _recv_packet(self):
-        header = self._recv_exact(1)[0]
+        try:
+            header = self._recv_exact(1)[0]
+        except socket.timeout:
+            # no bytes consumed: safe to resume later; a timeout anywhere
+            # past this point means a torn packet (resync impossible) and
+            # propagates as fatal
+            raise _IdleTimeout()
         length = 0
         shift = 0
         while True:
@@ -122,6 +134,7 @@ class MqttClient:
             raise MqttError('CONNACK refused (code {})'.format(code))
 
         self._sock.settimeout(max(self._keepalive * 1.5, 5))
+        self._last_rx = time.monotonic()
         self._connected.set()
         self._reader = threading.Thread(target=self._read_loop, daemon=True,
                                         name=self._client_id + '-mqtt-read')
@@ -164,11 +177,16 @@ class MqttClient:
             while not self._stopping:
                 try:
                     header, data = self._recv_packet()
-                except socket.timeout:
-                    # a quiet broker is not a dead broker — the pinger
-                    # keeps the session alive; tearing down here caused
-                    # spurious reconnects under host starvation
+                except _IdleTimeout:
+                    # a quiet broker is not a dead broker — but a broker
+                    # that answered nothing (not even PINGRESP) for two
+                    # keepalive periods is gone (half-open TCP): tear
+                    # down so the owner reconnects with backoff
+                    if time.monotonic() - self._last_rx > \
+                            max(self._keepalive * 2.0, 10.0):
+                        raise MqttError('broker unresponsive')
                     continue
+                self._last_rx = time.monotonic()
                 packet_type = header & 0xF0
                 if packet_type == PUBLISH:
                     self._handle_publish(header, data)
