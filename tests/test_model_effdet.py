@@ -36,7 +36,8 @@ def test_heads_match_anchors(tiny_effdet):
     x = jnp.zeros((1, TINY.input_size, TINY.input_size, 3), TINY.dtype)
     boxes, logits = det.raw_apply(det.params, x)
     assert boxes.shape == (1, det.anchors.shape[0], 4)
-    assert logits.shape == (1, det.anchors.shape[0], TINY.num_classes + 1)
+    # automl convention: no background column, sigmoid heads
+    assert logits.shape == (1, det.anchors.shape[0], TINY.num_classes)
 
 
 def test_detect_batch_contract(tiny_effdet):
@@ -48,6 +49,18 @@ def test_detect_batch_contract(tiny_effdet):
     assert out.classes.shape == (2, TINY.max_detections)
     assert np.asarray(out.boxes).min() >= 0.0
     assert np.asarray(out.boxes).max() <= 1.0
+
+
+def test_fastattn_fusion_builds():
+    """The non-Lite fusion (fast attention, per-node WSM weights) compiles
+    and differs from plain-sum fusion."""
+    import jax
+    cfg = TINY._replace(fpn_weight_method='fastattn')
+    det = build_effdet(cfg, rng=jax.random.PRNGKey(0))
+    assert 'WSM' in det.params['params']['bifpn0']['fnode0']
+    x = jnp.zeros((1, TINY.input_size, TINY.input_size, 3), TINY.dtype)
+    boxes, logits = det.raw_apply(det.params, x)
+    assert logits.shape[-1] == TINY.num_classes
 
 
 def test_lite_variant_scaling():

@@ -344,8 +344,12 @@ def convert_tf_od_checkpoint(checkpoint_path, config=None):
     """checkpoint -> (flax variables, SSDConfig). When ``config`` is None
     the backbone family (MobilenetV1/V2) and class count are inferred from
     the checkpoint's variable names and head shapes."""
-    from watsor_tpu.models.ssd import SSDConfig
     variables = load_tf_checkpoint_variables(checkpoint_path)
+    return convert_tf_od_variables(variables, config)
+
+
+def convert_tf_od_variables(variables, config=None):
+    from watsor_tpu.models.ssd import SSDConfig
     is_v1 = any(name.startswith(_MOBILENET_V1_ROOT) for name in variables)
     lite_dw = 'BoxPredictor_0/BoxEncodingPredictor_depthwise/' \
               'depthwise_weights'
@@ -370,7 +374,9 @@ def convert_tf_od_checkpoint(checkpoint_path, config=None):
 
 
 def main(argv=None):
-    """CLI: TF-OD-API checkpoint -> <name>.msgpack the zoo loads directly.
+    """CLI: TF checkpoint -> <name>.msgpack the zoo loads directly. Detects
+    the model family from the checkpoint's variable names: TF-OD-API
+    SSD-MobileNet (v1/v2/SSDLite) or automl EfficientDet-Lite.
 
     Documented end-to-end in docs/WEIGHTS.md; the reference's analog is
     dropping gpu.uff/cpu.pb model files into the model dir
@@ -378,25 +384,63 @@ def main(argv=None):
     import argparse
     import logging
     parser = argparse.ArgumentParser(
-        description='Convert a TF Object Detection API SSD-MobileNetV2 '
-                    'checkpoint into watsor-tpu weights')
+        description='Convert a public detector checkpoint (TF-OD-API '
+                    'SSD-MobileNet or automl EfficientDet-Lite) into '
+                    'watsor-tpu weights')
     parser.add_argument('-c', '--checkpoint', required=True,
-                        help='model.ckpt prefix, .index file, or directory')
+                        help='model.ckpt prefix, .index file, directory, '
+                             'or a .tflite detection graph (the '
+                             "reference's cpu.tflite/edgetpu.tflite files)")
     parser.add_argument('-o', '--output', required=True,
                         help='model directory to write into')
-    parser.add_argument('-n', '--name', default='ssd_mobilenet_v2',
-                        help='weight file stem (zoo model name)')
+    parser.add_argument('-n', '--name', default=None,
+                        help='weight file stem (zoo model name); default '
+                             'follows the detected model family')
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-
-    variables, config = convert_tf_od_checkpoint(args.checkpoint)
-    name = args.name
-    if name == 'ssd_mobilenet_v2':   # default name follows the detection
-        if config.backbone == 'mobilenet_v1':
-            name = 'ssd_mobilenet_v1'
-        elif getattr(config, 'lite', False):
-            name = 'ssdlite_mobilenet_v2'
     from watsor_tpu.models.zoo import save_weights
+
+    if args.checkpoint.endswith('.tflite'):
+        from watsor_tpu.models.convert_tflite import convert_tflite_ssd
+        variables, config, anchors = convert_tflite_ssd(
+            model_path=args.checkpoint)
+        name = args.name
+        if name is None:
+            if config.backbone == 'mobilenet_v1':
+                name = 'ssd_mobilenet_v1'
+            elif config.lite:
+                name = 'ssdlite_mobilenet_v2'
+            else:
+                name = 'ssd_mobilenet_v2'
+        if anchors is not None:
+            variables = dict(variables)
+            variables['postprocess'] = {
+                'anchors': anchors,
+                'box_coder_scales': np.asarray(config.box_coder_scales,
+                                               np.float32)}
+        path = save_weights(variables, args.output, name)
+        print('wrote {} ({} classes, input {}x{})'.format(
+            path, config.num_classes, config.input_size, config.input_size))
+        return
+
+    variables_in = load_tf_checkpoint_variables(args.checkpoint)
+    from watsor_tpu.models.convert_effdet import (
+        automl_effdet_variables_to_flax, infer_effdet_config,
+        is_effdet_checkpoint)
+    if is_effdet_checkpoint(variables_in):
+        config = infer_effdet_config(variables_in)
+        variables = automl_effdet_variables_to_flax(variables_in, config)
+        name = args.name or 'efficientdet_{}'.format(config.variant)
+    else:
+        variables, config = convert_tf_od_variables(variables_in)
+        name = args.name
+        if name is None:             # default name follows the detection
+            if config.backbone == 'mobilenet_v1':
+                name = 'ssd_mobilenet_v1'
+            elif getattr(config, 'lite', False):
+                name = 'ssdlite_mobilenet_v2'
+            else:
+                name = 'ssd_mobilenet_v2'
     path = save_weights(variables, args.output, name)
     print('wrote {} ({} classes, input {}x{})'.format(
         path, config.num_classes, config.input_size, config.input_size))

@@ -4,8 +4,28 @@ as the SSD family (decode + class-aware NMS on device, boxes/scores/
 1-based classes padded to a static max — see models/ssd.py).
 
 Clean re-implementation of the published EfficientDet design
-(arXiv:1911.09070) with the Lite simplifications (ReLU6, no SE). The
-reference serves such models only as opaque TFLite flatbuffers
+(arXiv:1911.09070) with the Lite simplifications, structured to match the
+google/automl reference computation exactly so the public
+``efficientdet-lite{0..4}`` checkpoints convert with numerically matching
+outputs (models/convert_effdet.py):
+
+  - ReLU6 activations, no squeeze-excite (the Lite cuts);
+  - plain-sum feature fusion in the BiFPN (``fpn_weight_method='sum'``, the
+    quantization-friendly Lite choice; fast-attention with per-node WSM
+    weights is also supported for the non-Lite checkpoints);
+  - each fusion node applies activation BEFORE its separable conv, the conv
+    carries a bias, and BatchNorm follows with no second activation (the
+    automl ``conv_bn_act_pattern=False`` ordering);
+  - lateral channel projections are per-node 1x1 conv+BN "resample" ops
+    inside the FIRST BiFPN cell (P4/P5 are projected twice with independent
+    weights — the automl layout), plus the standalone ``resample_p6``;
+  - heads are separable convs (single bias on the pointwise stage) shared
+    across levels with per-level BatchNorm, and a separable predict layer;
+  - class logits have NO background column: scores are plain sigmoids and
+    column ``i`` is 1-based label ``i+1`` (``explicit_background=False``);
+  - inputs normalize as ``(x - 127) / 128`` (the Lite mean/stddev).
+
+The reference serves such models only as opaque TFLite flatbuffers
 (/root/reference/watsor/detection/tensorflow_lite_cpu.py); here the
 architecture is first-class and jit-compiles into one XLA program.
 """
@@ -25,13 +45,14 @@ from watsor_tpu.ops.preprocess import resize_bilinear_mxu
 
 
 # published EfficientDet-Lite compound scaling:
-# variant -> (input_size, fpn_channels, fpn_repeats, head_repeats)
+# variant -> (input_size, fpn_channels, fpn_repeats, head_repeats,
+#             anchor_scale)
 LITE_DET_SCALING = {
-    'lite0': (320, 64, 3, 3),
-    'lite1': (384, 88, 4, 3),
-    'lite2': (448, 112, 5, 3),
-    'lite3': (512, 160, 6, 4),
-    'lite4': (640, 224, 7, 4),
+    'lite0': (320, 64, 3, 3, 3.0),
+    'lite1': (384, 88, 4, 3, 3.0),
+    'lite2': (448, 112, 5, 3, 3.0),
+    'lite3': (512, 160, 6, 4, 4.0),
+    'lite4': (640, 224, 7, 4, 4.0),
 }
 
 
@@ -41,10 +62,11 @@ def lite_config(variant='lite0', **overrides):
         raise ValueError(
             'unknown EfficientDet-Lite variant {!r}; supported: {}'.format(
                 variant, ', '.join(sorted(LITE_DET_SCALING))))
-    size, channels, fpn_r, head_r = LITE_DET_SCALING[variant]
+    size, channels, fpn_r, head_r, anchor_scale = LITE_DET_SCALING[variant]
     return EfficientDetConfig(variant=variant, input_size=size,
                               fpn_channels=channels, fpn_repeats=fpn_r,
-                              head_repeats=head_r)._replace(**overrides)
+                              head_repeats=head_r,
+                              anchor_scale=anchor_scale)._replace(**overrides)
 
 
 class EfficientDetConfig(NamedTuple):
@@ -58,7 +80,11 @@ class EfficientDetConfig(NamedTuple):
     max_level: int = 7
     num_scales: int = 3
     aspect_ratios: Tuple[float, ...] = (1.0, 2.0, 0.5)
-    anchor_scale: float = 3.0      # lite0 uses 3.0 (4.0 for the full models)
+    anchor_scale: float = 3.0      # lite0-2 use 3.0, lite3/4 use 4.0
+    fpn_weight_method: str = 'sum'  # 'sum' (Lite) | 'fastattn' (full models)
+    explicit_background: bool = False  # automl: sigmoid heads, no bg column
+    mean_rgb: float = 127.0        # Lite input normalization (x-127)/128
+    stddev_rgb: float = 128.0
     iou_threshold: float = 0.6
     score_threshold: float = 0.005
     max_detections: int = 100
@@ -75,28 +101,32 @@ class EfficientDetConfig(NamedTuple):
     def anchors_per_cell(self):
         return self.num_scales * len(self.aspect_ratios)
 
+    @property
+    def num_class_outputs(self):
+        """Width of the class head per anchor (no background column in the
+        automl convention)."""
+        return self.num_classes + (1 if self.explicit_background else 0)
 
-class SeparableConvBN(nn.Module):
+
+class SeparableConv(nn.Module):
+    """The automl SeparableConv2D: 3x3 depthwise + 1x1 pointwise with a
+    single bias on the pointwise output."""
+
     features: int
-    act: bool = True
+    use_bias: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x):
         x = nn.Conv(x.shape[-1], (3, 3), padding='SAME', use_bias=False,
                     feature_group_count=x.shape[-1], dtype=self.dtype,
                     name='dw')(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name='pw')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype)(x)
-        if self.act:
-            x = jnp.minimum(nn.relu(x), 6.0)
-        return x
+        return nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
+                       dtype=self.dtype, name='pw')(x)
 
 
 def _resize_to(x, h, w):
-    """Nearest up/box down sampling between pyramid levels."""
+    """Nearest up / 3x3-stride-2 max-pool down between pyramid levels."""
     B, xh, xw, C = x.shape
     if xh == h and xw == w:
         return x
@@ -106,34 +136,57 @@ def _resize_to(x, h, w):
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding='SAME')
 
 
-class _Fuse(nn.Module):
-    """Fast-attention weighted fusion + separable conv."""
+class FNode(nn.Module):
+    """One BiFPN fusion node: optional 1x1 conv+BN channel projection of a
+    raw backbone input ("resample"), weighted/plain-sum fusion, then
+    activation -> separable conv (with bias) -> BatchNorm. This is the
+    automl ordering for ``conv_bn_act_pattern=False`` — the configuration
+    every published EfficientDet(-Lite) checkpoint was trained with."""
 
     features: int
     num_inputs: int
+    resample_input: int = -1       # index of the input needing projection
+    weight_method: str = 'sum'
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, inputs, train=False):
-        w = self.param('fusion_weights', nn.initializers.ones,
-                       (self.num_inputs,))
-        w = nn.relu(w)
-        w = w / (jnp.sum(w) + 1e-4)
-        x = sum(w[i].astype(inputs[0].dtype) * inputs[i]
-                for i in range(self.num_inputs))
-        return SeparableConvBN(self.features, dtype=self.dtype,
-                               name='conv')(x, train)
+        xs = list(inputs)
+        if self.resample_input >= 0:
+            xs[self.resample_input] = ConvBN(
+                self.features, (1, 1), act=False, dtype=self.dtype,
+                name='resample')(xs[self.resample_input], train)
+        if self.weight_method == 'fastattn':
+            w = nn.relu(self.param('WSM', nn.initializers.ones,
+                                   (self.num_inputs,)))
+            w = w / (jnp.sum(w) + 1e-4)
+            y = sum(w[i].astype(xs[0].dtype) * xs[i]
+                    for i in range(self.num_inputs))
+        else:                      # 'sum' — the Lite fusion
+            y = sum(xs[1:], xs[0])
+        y = jnp.minimum(nn.relu(y), 6.0)
+        y = SeparableConv(self.features, dtype=self.dtype, name='conv')(y)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                            epsilon=1e-3, dtype=self.dtype, name='bn')(y)
 
 
 class BiFPN(nn.Module):
+    """One BiFPN cell over P3..P7. In the first cell the raw backbone taps
+    (C3, C4, C5) are channel-projected inside the consuming nodes — P4 and
+    P5 feed both a top-down and a bottom-up node and are projected twice
+    with independent weights, matching the automl checkpoint layout."""
+
     channels: int
+    first_cell: bool = False
+    weight_method: str = 'sum'
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats, train=False):
-        """feats: list of 5 maps P3..P7 (already at fpn channels)."""
         p3, p4, p5, p6, p7 = feats
         shapes = [f.shape[1:3] for f in feats]
+        c = self.channels
+        wm = self.weight_method
 
         def up(x, target):
             return _resize_to(x, *target)
@@ -141,52 +194,46 @@ class BiFPN(nn.Module):
         def down(x):
             return nn.max_pool(x, (3, 3), strides=(2, 2), padding='SAME')
 
-        c = self.channels
-        p6td = _Fuse(c, 2, dtype=self.dtype, name='p6td')(
-            [p6, up(p7, shapes[3])], train)
-        p5td = _Fuse(c, 2, dtype=self.dtype, name='p5td')(
-            [p5, up(p6td, shapes[2])], train)
-        p4td = _Fuse(c, 2, dtype=self.dtype, name='p4td')(
-            [p4, up(p5td, shapes[1])], train)
-        p3out = _Fuse(c, 2, dtype=self.dtype, name='p3out')(
-            [p3, up(p4td, shapes[0])], train)
-        p4out = _Fuse(c, 3, dtype=self.dtype, name='p4out')(
-            [p4, p4td, down(p3out)], train)
-        p5out = _Fuse(c, 3, dtype=self.dtype, name='p5out')(
-            [p5, p5td, down(p4out)], train)
-        p6out = _Fuse(c, 3, dtype=self.dtype, name='p6out')(
-            [p6, p6td, down(p5out)], train)
-        p7out = _Fuse(c, 2, dtype=self.dtype, name='p7out')(
-            [p7, down(p6out)], train)
+        def rs(i):
+            return i if self.first_cell else -1
+
+        def node(k, n, resample, inputs):
+            return FNode(c, n, resample, wm, self.dtype,
+                         name=f'fnode{k}')(inputs, train)
+
+        p6td = node(0, 2, -1, [p6, up(p7, shapes[3])])
+        p5td = node(1, 2, rs(0), [p5, up(p6td, shapes[2])])
+        p4td = node(2, 2, rs(0), [p4, up(p5td, shapes[1])])
+        p3out = node(3, 2, rs(0), [p3, up(p4td, shapes[0])])
+        p4out = node(4, 3, rs(0), [p4, p4td, down(p3out)])
+        p5out = node(5, 3, rs(0), [p5, p5td, down(p4out)])
+        p6out = node(6, 3, -1, [p6, p6td, down(p5out)])
+        p7out = node(7, 2, -1, [p7, down(p6out)])
         return [p3out, p4out, p5out, p6out, p7out]
 
 
 class _Head(nn.Module):
-    """Separable-conv head with weights shared across levels but per-level
-    BatchNorm (the EfficientDet convention)."""
+    """Separable-conv head: conv weights shared across levels, per-level
+    BatchNorm, ReLU6 after each BN, separable predict layer (the automl
+    class_net/box_net structure — repeats carry BOTH a conv bias and a BN,
+    exactly as the checkpoints store them)."""
 
     out_features: int
     repeats: int
     channels: int
-    num_levels: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats, train=False):
+        convs = [SeparableConv(self.channels, dtype=self.dtype,
+                               name=f'sep{r}')
+                 for r in range(self.repeats)]
+        final = SeparableConv(self.out_features, dtype=self.dtype,
+                              name='predict')
         outputs = []
-        convs = [
-            (nn.Conv(self.channels, (3, 3), padding='SAME', use_bias=False,
-                     feature_group_count=self.channels, dtype=self.dtype,
-                     name=f'dw{r}'),
-             nn.Conv(self.channels, (1, 1), use_bias=False,
-                     dtype=self.dtype, name=f'pw{r}'))
-            for r in range(self.repeats)
-        ]
-        final = nn.Conv(self.out_features, (3, 3), padding='SAME',
-                        dtype=self.dtype, name='predict')
         for level, x in enumerate(feats):
-            for r, (dw, pw) in enumerate(convs):
-                x = pw(dw(x))
+            for r, conv in enumerate(convs):
+                x = conv(x)
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.99, epsilon=1e-3,
                                  dtype=self.dtype,
@@ -204,28 +251,28 @@ class EfficientDet(nn.Module):
         cfg = self.config
         c3, c4, c5 = EfficientNetLite(cfg.variant, dtype=cfg.dtype,
                                       name='backbone')(images, train)
-        # lateral 1x1 projections + extra levels P6, P7
-        proj = [ConvBN(cfg.fpn_channels, (1, 1), act=False, dtype=cfg.dtype,
-                       name=f'lateral{i}')(c, train)
-                for i, c in enumerate((c3, c4, c5))]
+        # P6 = pool(1x1 conv+BN of C5); P7 = pool(P6) — the automl
+        # resample_p6/resample_p7 pair (p7 has no weights)
         p6 = nn.max_pool(ConvBN(cfg.fpn_channels, (1, 1), act=False,
-                                dtype=cfg.dtype, name='p6_proj')(c5, train),
+                                dtype=cfg.dtype,
+                                name='resample_p6')(c5, train),
                          (3, 3), strides=(2, 2), padding='SAME')
         p7 = nn.max_pool(p6, (3, 3), strides=(2, 2), padding='SAME')
-        feats = proj + [p6, p7]
+        feats = [c3, c4, c5, p6, p7]
 
         for r in range(cfg.fpn_repeats):
-            feats = BiFPN(cfg.fpn_channels, dtype=cfg.dtype,
-                          name=f'bifpn{r}')(feats, train)
+            feats = BiFPN(cfg.fpn_channels, first_cell=(r == 0),
+                          weight_method=cfg.fpn_weight_method,
+                          dtype=cfg.dtype, name=f'bifpn{r}')(feats, train)
 
         num_anchors = cfg.anchors_per_cell
-        num_cls = cfg.num_classes + 1
+        num_cls = cfg.num_class_outputs
         cls_outputs = _Head(num_anchors * num_cls, cfg.head_repeats,
-                            cfg.fpn_channels, cfg.num_levels,
-                            dtype=cfg.dtype, name='cls_head')(feats, train)
+                            cfg.fpn_channels, dtype=cfg.dtype,
+                            name='cls_head')(feats, train)
         box_outputs = _Head(num_anchors * 4, cfg.head_repeats,
-                            cfg.fpn_channels, cfg.num_levels,
-                            dtype=cfg.dtype, name='box_head')(feats, train)
+                            cfg.fpn_channels, dtype=cfg.dtype,
+                            name='box_head')(feats, train)
         B = images.shape[0]
         boxes = jnp.concatenate(
             [b.reshape(B, -1, 4) for b in box_outputs], axis=1)
@@ -285,7 +332,7 @@ class EffDetDetector(NamedTuple):
 
 
 def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
-                 rng=None, params=None) -> EffDetDetector:
+                 rng=None, params=None, anchors=None) -> EffDetDetector:
     """Same fused uint8-in -> detections-out contract as
     models/ssd.build_detector, so JaxDetectorBackend works unchanged."""
     cfg = config
@@ -294,7 +341,9 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), cfg.dtype)
         params = model.init(rng, dummy, train=False)
-    anchors_dev = jnp.asarray(effdet_anchors(cfg))
+    if anchors is None:
+        anchors = effdet_anchors(cfg)
+    anchors_dev = jnp.asarray(np.asarray(anchors, np.float32))
     active = None
     if cfg.active_labels is not None:
         active = jnp.asarray(sorted(set(int(l) for l in cfg.active_labels
@@ -308,14 +357,17 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
     def detect_batch(p, images_u8):
         x = resize_bilinear_mxu(images_u8, cfg.input_size, cfg.input_size,
                                 dtype=jnp.float32)
-        x = (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
+        x = ((x - cfg.mean_rgb) / cfg.stddev_rgb).astype(cfg.dtype)
         box_enc, logits = model.apply(p, x, train=False)
         boxes = decode_boxes(box_enc, anchors_dev,
                              scales=cfg.box_coder_scales)
+        # class column i is 1-based label i+1; with an explicit background
+        # column the label columns start at 1 instead of 0
+        offset = 1 if cfg.explicit_background else 0
         if active is not None:
-            scores = jax.nn.sigmoid(logits[..., active])
+            scores = jax.nn.sigmoid(logits[..., active - 1 + offset])
         else:
-            scores = jax.nn.sigmoid(logits[..., 1:])
+            scores = jax.nn.sigmoid(logits[..., offset:])
         b, s, c, v = batched_class_aware_nms(
             boxes, scores,
             iou_threshold=cfg.iou_threshold,

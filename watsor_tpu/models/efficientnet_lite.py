@@ -97,6 +97,27 @@ LITE_SCALING = {
 }
 
 
+def lite_block_args(variant):
+    """The flat per-block argument table for a lite variant:
+    [(expand_ratio, features, strides, kernel, stage), ...] — one entry per
+    MBConv block in execution order. This is the single source of truth for
+    both the Flax backbone below and the automl-checkpoint converter
+    (models/convert_effdet.py), whose ``blocks_{i}`` variable scopes use the
+    same flat numbering."""
+    width, depth = LITE_SCALING[variant]
+    args = []
+    for stage, (expand, features, repeats, first_stride, kernel) in \
+            enumerate(EFFNET_B0_BLOCKS):
+        features = _round_filters(features, width)
+        # Lite: first and last stage repeats are NOT depth-scaled
+        if stage not in (0, len(EFFNET_B0_BLOCKS) - 1):
+            repeats = _round_repeats(repeats, depth)
+        for i in range(repeats):
+            args.append((expand, features, first_stride if i == 0 else 1,
+                         kernel, stage))
+    return args
+
+
 class EfficientNetLite(nn.Module):
     """Returns the stride-8/16/32 feature taps (C3, C4, C5)."""
 
@@ -105,28 +126,22 @@ class EfficientNetLite(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        width, depth = LITE_SCALING[self.variant]
         # Lite: stem is NOT width-scaled
         x = ConvBN(32, (3, 3), strides=2, dtype=self.dtype,
                    name='stem')(x, train)
         taps = {}
-        block_index = 0
-        for stage, (expand, features, repeats, first_stride, kernel) in \
-                enumerate(EFFNET_B0_BLOCKS):
-            features = _round_filters(features, width)
-            # Lite: first and last stage repeats are NOT depth-scaled
-            if stage not in (0, len(EFFNET_B0_BLOCKS) - 1):
-                repeats = _round_repeats(repeats, depth)
-            for i in range(repeats):
-                strides = first_stride if i == 0 else 1
-                x = MBConvLite(features, kernel, strides, expand,
-                               dtype=self.dtype,
-                               name=f'block{block_index}')(x, train)
-                block_index += 1
-            if stage == 2:
+        block_args = lite_block_args(self.variant)
+        for block_index, (expand, features, strides, kernel, stage) in \
+                enumerate(block_args):
+            x = MBConvLite(features, kernel, strides, expand,
+                           dtype=self.dtype,
+                           name=f'block{block_index}')(x, train)
+            last_of_stage = (block_index + 1 == len(block_args) or
+                             block_args[block_index + 1][4] != stage)
+            if last_of_stage and stage == 2:
                 taps['C3'] = x          # stride 8
-            elif stage == 4:
+            elif last_of_stage and stage == 4:
                 taps['C4'] = x          # stride 16
-            elif stage == 6:
+            elif last_of_stage and stage == 6:
                 taps['C5'] = x          # stride 32
         return taps['C3'], taps['C4'], taps['C5']

@@ -43,6 +43,9 @@ class SSDConfig(NamedTuple):
     width_multiplier: float = 1.0
     extra_features: Tuple[int, ...] = (512, 256, 256, 128)
     anchor_spec: AnchorSpec = AnchorSpec()
+    # faster_rcnn box-coder scales (y, x, h, w); TFLite conversions adopt
+    # the scales stored in the graph's detection-postprocess options
+    box_coder_scales: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
     iou_threshold: float = 0.6
     score_threshold: float = 0.005
     max_detections: int = 100
@@ -151,13 +154,16 @@ class DetectionsBatch(NamedTuple):
 
 
 def build_detector(config: SSDConfig = SSDConfig(), rng=None,
-                   params=None) -> Detector:
+                   params=None, anchors=None) -> Detector:
     """Construct the model, initialize (or adopt) params, and jit the fused
     uint8-in → detections-out step.
 
     The step accepts frames at ANY fixed resolution: resize to the model
     input runs on device as MXU contractions (ops/preprocess.py), fused with
     normalization and the first conv — the host never touches pixels.
+
+    ``anchors``: optional [A, 4] corner-form override — TFLite conversions
+    carry the exact grid stored in the source graph's postprocess op.
     """
     cfg = config
     model = SSD(cfg)
@@ -166,7 +172,10 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
         dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), cfg.dtype)
         variables = model.init(rng, dummy, train=False)
         params = variables
-    anchors = anchors_for(cfg)
+    if anchors is None:
+        anchors = anchors_for(cfg)
+    else:
+        anchors = np.asarray(anchors, np.float32)
     anchors_dev = jnp.asarray(anchors)
 
     def raw_apply(p, images_f):
@@ -184,7 +193,8 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
                                 dtype=jnp.float32)
         x = (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
         box_enc, logits = model.apply(p, x, train=False)
-        boxes = decode_boxes(box_enc, anchors_dev)
+        boxes = decode_boxes(box_enc, anchors_dev,
+                             scales=cfg.box_coder_scales)
         if active is not None:
             # slice the head to the watched classes: the NMS class axis
             # shrinks from num_classes to len(active)

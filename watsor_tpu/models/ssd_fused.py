@@ -149,7 +149,9 @@ def build_fused_detector(detector: Detector) -> Detector:
                                 dtype=jnp.float32)
         x = (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
         box_enc, logits = raw_apply(pk, x)
-        boxes = decode_boxes(box_enc, anchors_dev)
+        boxes = decode_boxes(box_enc, anchors_dev,
+                             scales=getattr(cfg, 'box_coder_scales',
+                                            (10.0, 10.0, 5.0, 5.0)))
         if active is not None:
             scores = jax.nn.sigmoid(logits[..., active])
         else:

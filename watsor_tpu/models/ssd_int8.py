@@ -312,7 +312,9 @@ def build_int8_detector(detector: Detector, calibration_images_u8,
                                 dtype=jnp.float32)
         x = x * (2.0 / 255.0) - 1.0
         box_enc, logits = raw_apply(bundle, x)
-        boxes = decode_boxes(box_enc, anchors_dev)
+        boxes = decode_boxes(box_enc, anchors_dev,
+                             scales=getattr(cfg, 'box_coder_scales',
+                                            (10.0, 10.0, 5.0, 5.0)))
         if active is not None:
             scores = jax.nn.sigmoid(logits[..., active])
         else:

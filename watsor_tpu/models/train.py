@@ -94,7 +94,11 @@ def make_train_step(config, tx, model=None, anchors=None,
     if box_coder_scales is None:
         box_coder_scales = getattr(config, 'box_coder_scales', None) or \
             (10.0, 10.0, 5.0, 5.0)
-    num_cls = config.num_classes + 1
+    # SSD heads carry an explicit background column (one-hot index 0);
+    # EfficientDet follows the automl sigmoid convention: no background
+    # column, negatives train toward the all-zero target
+    explicit_bg = getattr(config, 'explicit_background', True)
+    num_cls = config.num_classes + (1 if explicit_bg else 0)
 
     def loss_fn(params, batch_stats, batch):
         x = resize_bilinear_mxu(batch['images'], config.input_size,
@@ -108,7 +112,8 @@ def make_train_step(config, tx, model=None, anchors=None,
             partial(_match_anchors, anchors, box_coder_scales))(
                 batch['gt_boxes'], batch['gt_labels'], batch['gt_valid'])
 
-        onehot = jax.nn.one_hot(cls_t, num_cls)
+        # without a background column, label 0 maps to -1 -> all-zero row
+        onehot = jax.nn.one_hot(cls_t if explicit_bg else cls_t - 1, num_cls)
         cls_loss = _focal_loss(logits, onehot).sum(-1)          # [B, A]
         box_loss = optax.huber_loss(box_enc, box_t).sum(-1)     # [B, A]
         num_pos = jnp.maximum(positive.sum(), 1.0)

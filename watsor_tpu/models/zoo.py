@@ -23,9 +23,9 @@ from watsor_tpu.models.ssd import SSDConfig, build_detector
 _LOGGER = logging.getLogger(__name__)
 
 
-def _build_effdet(config, rng=None, params=None):
+def _build_effdet(config, rng=None, params=None, anchors=None):
     from watsor_tpu.models.efficientdet import build_effdet
-    return build_effdet(config, rng=rng, params=params)
+    return build_effdet(config, rng=rng, params=params, anchors=anchors)
 
 
 def _effdet_config(variant='lite0'):
@@ -121,6 +121,38 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
     if nms_mode is not None and hasattr(config, 'nms_mode'):
         config = config._replace(nms_mode=nms_mode)
     params = load_weights(model_path, name)
+    anchors = None
+    if isinstance(params, dict) and 'postprocess' in params:
+        # TFLite conversions persist the source graph's exact anchor grid
+        # and box-coder scales alongside the weights
+        post = params.pop('postprocess')
+        if post.get('anchors') is not None:
+            anchors = np.asarray(post['anchors'], np.float32)
+        if post.get('box_coder_scales') is not None and \
+                hasattr(config, 'box_coder_scales'):
+            config = config._replace(box_coder_scales=tuple(
+                float(s) for s in np.asarray(post['box_coder_scales'])))
+    if params is not None and hasattr(config, 'fpn_repeats'):
+        # adopt the stored EfficientDet geometry (converted automl
+        # checkpoints decide fpn/head shape and class count)
+        try:
+            tree = params['params']
+            anchors = config.anchors_per_cell
+            ncls_total = int(np.asarray(
+                tree['cls_head']['predict']['pw']['kernel']).shape[-1]) \
+                // anchors
+            config = config._replace(
+                fpn_channels=int(np.asarray(
+                    tree['resample_p6']['Conv_0']['kernel']).shape[-1]),
+                fpn_repeats=sum(1 for k in tree if k.startswith('bifpn')),
+                head_repeats=sum(1 for k in tree['cls_head']
+                                 if k.startswith('sep')),
+                fpn_weight_method=('fastattn' if 'WSM' in
+                                   tree['bifpn0']['fnode0'] else 'sum'),
+                num_classes=ncls_total - (1 if config.explicit_background
+                                          else 0))
+        except (KeyError, TypeError, IndexError):
+            pass
     if params is not None and hasattr(config, 'head_kernel'):
         # adopt the stored weights' predictor geometry: conv size (public
         # v2 checkpoints use 3x3 heads, v1 1x1) and SSDLite separable heads
@@ -138,6 +170,12 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
                 k = int(np.asarray(tree['box_head0']['kernel']).shape[0])
             if k != config.head_kernel:
                 config = config._replace(head_kernel=k)
+            from watsor_tpu.ops.anchors import anchors_per_location
+            npl = anchors_per_location(config.anchor_spec)
+            ncls = int(np.asarray(tree['cls_head0']['bias']).size) \
+                // npl[0] - 1
+            if ncls != config.num_classes:
+                config = config._replace(num_classes=ncls)
         except (KeyError, TypeError, IndexError):
             pass
     if params is None:
@@ -145,4 +183,4 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
             "No weights for '%s' under %s — using random initialization "
             "(fine for benchmarks/synthetic shapes, not for real cameras)",
             name, model_path)
-    return builder(config, rng=rng, params=params)
+    return builder(config, rng=rng, params=params, anchors=anchors)
