@@ -304,6 +304,12 @@ def test_cli_roundtrip_into_zoo(ckpt_rig, tmp_path):
     np.testing.assert_allclose(bias,
                                variables_np['class_net/class-predict/bias'],
                                atol=0)
+    # smoke the jitted end-to-end path (decode + NMS trace) — a geometry
+    # mismatch in the adopted config only surfaces at first detection
+    frames = np.zeros((1, det.config.input_size, det.config.input_size, 3),
+                      np.uint8)
+    out = det.detect_batch(det.params, jnp.asarray(frames))
+    assert out.boxes.shape[0] == 1 and out.boxes.shape[-1] == 4
 
 
 def test_missing_variable_is_reported(ckpt_rig):

@@ -25,6 +25,7 @@ bias=b, mean=0, var=1-eps) so the Flax modules reproduce the conv+bias
 computation bit-for-bit.
 """
 
+import logging
 from collections import defaultdict
 
 import numpy as np
@@ -192,8 +193,18 @@ def _parse_post_options(graph, op_index):
         return {}
     try:
         from flatbuffers import flexbuffers
+    except ImportError:
+        logging.getLogger(__name__).warning(
+            'flatbuffers.flexbuffers unavailable — postprocess options '
+            '(box-coder scales, class count) not parsed; falling back to '
+            'default SSD scales')
+        return {}
+    try:
         return flexbuffers.Loads(bytes(bytearray(data)))
-    except Exception:
+    except (ValueError, TypeError, IndexError) as exc:
+        logging.getLogger(__name__).warning(
+            'could not parse TFLite_Detection_PostProcess options (%s) — '
+            'falling back to default SSD box-coder scales', exc)
         return {}
 
 

@@ -343,6 +343,14 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
         params = model.init(rng, dummy, train=False)
     if anchors is None:
         anchors = effdet_anchors(cfg)
+    else:
+        anchors = np.asarray(anchors, np.float32)
+        expected = effdet_anchors(cfg).shape
+        if anchors.shape != expected:
+            raise ValueError(
+                f'anchor override shape {anchors.shape} does not match the '
+                f'head geometry {expected} — the sidecar is stale or '
+                f'belongs to a different model')
     anchors_dev = jnp.asarray(np.asarray(anchors, np.float32))
     active = None
     if cfg.active_labels is not None:

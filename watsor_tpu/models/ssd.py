@@ -176,6 +176,12 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
         anchors = anchors_for(cfg)
     else:
         anchors = np.asarray(anchors, np.float32)
+        expected = anchors_for(cfg).shape
+        if anchors.shape != expected:
+            raise ValueError(
+                f'anchor override shape {anchors.shape} does not match the '
+                f'head geometry {expected} — the postprocess sidecar is '
+                f'stale or belongs to a different model')
     anchors_dev = jnp.asarray(anchors)
 
     def raw_apply(p, images_f):

@@ -137,10 +137,10 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
         # checkpoints decide fpn/head shape and class count)
         try:
             tree = params['params']
-            anchors = config.anchors_per_cell
+            npc = config.anchors_per_cell
             ncls_total = int(np.asarray(
                 tree['cls_head']['predict']['pw']['kernel']).shape[-1]) \
-                // anchors
+                // npc
             config = config._replace(
                 fpn_channels=int(np.asarray(
                     tree['resample_p6']['Conv_0']['kernel']).shape[-1]),
