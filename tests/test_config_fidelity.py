@@ -52,10 +52,10 @@ def test_negative_option_values_translate():
 
 def test_decoder_unknown_flags_collected():
     args = decoder_args_from_argv([
-        'ffmpeg', '-hwaccel', 'cuda', '-vf', 'scale=640:480',
+        'ffmpeg', '-itsoffset', '2', '-vf', 'hflip',
         '-i', 'rtsp://cam', '-f', 'rawvideo', '-pix_fmt', 'rgb24', '-'])
-    assert '-hwaccel' in args.unknown
-    assert '-vf' in args.unknown
+    assert '-itsoffset' in args.unknown
+    assert any('hflip' in u for u in args.unknown)
 
 
 def test_encoder_argv_translation():
@@ -90,13 +90,13 @@ def test_decoder_unknown_flag_warning_logged(tmp_path, caplog):
     buffer_in = FrameBuffer(2, 64, 48)
     camera_config = {
         'input': 'rtsp://nowhere/stream',
-        'ffmpeg': {'decoder': ['ffmpeg', '-hwaccel', 'cuda', '-i',
+        'ffmpeg': {'decoder': ['ffmpeg', '-itsoffset', '2', '-i',
                                'rtsp://nowhere/stream', '-f', 'rawvideo',
                                '-pix_fmt', 'rgb24', '-']},
     }
     with caplog.at_level(logging.WARNING, logger='watsor_tpu.main'):
         app._create_decoder('camx', camera_config, Queue(1), buffer_in, None)
-    assert any('-hwaccel' in r.message for r in caplog.records)
+    assert any('-itsoffset' in r.message for r in caplog.records)
 
 
 @pytest.mark.skipif(not native.available(),
@@ -146,3 +146,198 @@ def test_libav_errors_routed_to_logging(tmp_path, caplog):
         native.drain_logs()
     assert any(r.name == 'watsor_tpu.libav' for r in caplog.records), \
         'no libav log records captured'
+
+
+# --- README Tips argv fidelity -----------------------------------------------
+# Every example argv in the reference README Tips
+# (/root/reference/README.md:173-243) and the shipped demo config
+# (/root/reference/config/config.yaml:18-63) must translate warning-free.
+
+def _dec(flags):
+    return decoder_args_from_argv(
+        ['ffmpeg'] + flags + ['-i', 'rtsp://cam/stream',
+                              '-f', 'rawvideo', '-pix_fmt', 'rgb24', '-'])
+
+
+def test_tips_fps_filter():
+    args = _dec(['-filter:v', 'fps=fps=10'])
+    assert args.unknown == []
+    assert args.filter_fps == 10
+
+
+def test_tips_scale_filter():
+    args = _dec(['-filter:v', 'scale=640:480'])
+    assert args.unknown == []
+
+
+def test_tips_combined_filters():
+    args = _dec(['-filter:v', 'fps=fps=10,scale=640:480'])
+    assert args.unknown == []
+    assert args.filter_fps == 10
+
+
+def test_tips_hwaccel_decode():
+    args = _dec(['-hwaccel', 'vaapi', '-hwaccel_device',
+                 '/dev/dri/renderD128', '-hwaccel_output_format', 'yuv420p'])
+    assert args.unknown == []
+    assert args.hwaccel == 'vaapi'
+    assert args.hwaccel_device == '/dev/dri/renderD128'
+
+
+def test_tips_fluent_video_encoder_trick():
+    """README.md:215-243: input throttled to 10 FPS with -vsync drop,
+    output duplicated up to constant 30000/1001 with -vsync cfr."""
+    args = encoder_args_from_argv([
+        'ffmpeg', '-hide_banner', '-f', 'rawvideo', '-pix_fmt', 'rgb24',
+        '-r', '10', '-vsync', 'drop', '-i', '-', '-an', '-f', 'mpegts',
+        '-r', '30000/1001', '-vsync', 'cfr', '-vcodec', 'libx264',
+        '-pix_fmt', 'yuv420p'])
+    assert args.unknown == []
+    assert args.input_fps == 10
+    assert args.cfr
+    assert abs(args.fps - 30000 / 1001) < 1e-9
+    assert args.format == 'mpegts'
+    assert args.codec == 'libx264'
+
+
+def test_reference_demo_config_decoder_translates_clean():
+    """/root/reference/config/config.yaml:19-39 decoder argv."""
+    args = decoder_args_from_argv([
+        'ffmpeg', '-hide_banner', '-loglevel', 'error', '-nostdin',
+        '-hwaccel', 'vaapi', '-hwaccel_device', '/dev/dri/renderD128',
+        '-hwaccel_output_format', 'yuv420p',
+        '-fflags', 'nobuffer', '-flags', 'low_delay',
+        '-fflags', '+genpts+discardcorrupt',
+        '-i', 'rtsp://cam/stream', '-f', 'rawvideo', '-pix_fmt', 'rgb24',
+        '-'])
+    assert args.unknown == []
+    assert args.hwaccel == 'vaapi'
+
+
+def test_reference_demo_config_encoder_translates_clean():
+    """/root/reference/config/config.yaml:40-63 encoder argv, including the
+    drawtext localtime overlay."""
+    args = encoder_args_from_argv([
+        'ffmpeg', '-hide_banner', '-loglevel', 'error',
+        '-hwaccel', 'vaapi', '-hwaccel_device', '/dev/dri/renderD128',
+        '-hwaccel_output_format', 'yuv420p',
+        '-f', 'rawvideo', '-pix_fmt', 'rgb24', '-i', '-', '-an',
+        '-f', 'mpegts', '-vcodec', 'libx264', '-pix_fmt', 'yuv420p',
+        '-vf',
+        "drawtext='text=%{localtime\\:%c}': x=w-tw-lh: y=h-2*lh: "
+        "fontcolor=white: box=1: boxcolor=black@0.55"])
+    assert args.unknown == []
+    assert args.format == 'mpegts'
+    assert args.drawtext is not None
+
+
+def test_drawtext_overlay_renders_timestamp():
+    from watsor_tpu.io.video import DrawTextOverlay
+    overlay = DrawTextOverlay(
+        "'text=%{localtime\\:%c}': x=w-tw-lh: y=h-2*lh: fontcolor=white: "
+        "box=1: boxcolor=black@0.55")
+    image = np.zeros((240, 320, 3), np.uint8)
+    overlay.apply(image)
+    assert image.any(), 'timestamp not rendered'
+    # text lands in the lower half (y = h-2*lh)
+    ys = np.nonzero(image.any(axis=(1, 2)))[0]
+    assert ys.min() > 120
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason='native video runtime unavailable')
+def test_filter_fps_drops_frames(tmp_path):
+    """-vf fps=fps=N halves the decoded frame count of a 2N-fps file."""
+    path = str(tmp_path / 'in.mp4')
+    enc = native.Encoder(path, 176, 144, fps=20.0)
+    for i in range(40):
+        enc.write(np.full((144, 176, 3), i * 5, np.uint8))
+    enc.close()
+
+    def count(filter_fps):
+        dec = native.Decoder(path, 176, 144, filter_fps=filter_fps)
+        buf = np.empty((144, 176, 3), np.uint8)
+        n = 0
+        while dec.read_into(buf) is not None:
+            n += 1
+        dec.close()
+        return n
+
+    full = count(0.0)
+    half = count(10.0)
+    assert full >= 35, full
+    assert half <= full // 2 + 2, (full, half)
+    assert half >= full // 2 - 2, (full, half)
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason='native video runtime unavailable')
+def test_unknown_hwaccel_falls_back_to_software(tmp_path, caplog):
+    """A hwaccel method that isn't usable on this host must warn and decode
+    in software, not fail (ffmpeg CLI non-strict behavior)."""
+    path = str(tmp_path / 'in.mp4')
+    enc = native.Encoder(path, 176, 144, fps=10.0)
+    for i in range(5):
+        enc.write(np.full((144, 176, 3), 100 + i, np.uint8))
+    enc.close()
+    with caplog.at_level(logging.DEBUG, logger='watsor_tpu.libav'):
+        dec = native.Decoder(path, 176, 144, hwaccel='nosuchaccel')
+        buf = np.empty((144, 176, 3), np.uint8)
+        assert dec.read_into(buf) is not None
+        dec.close()
+        native.drain_logs()
+    assert any('nosuchaccel' in r.message for r in caplog.records)
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason='native video runtime unavailable')
+def test_cfr_duplicates_to_constant_rate(tmp_path):
+    """-vsync cfr: writing ~5 real FPS for 1s at out_fps=25 produces ~25
+    encoded frames (duplication fills the gaps)."""
+    from time import sleep
+    path = str(tmp_path / 'cfr.mp4')
+    enc = native.Encoder(path, 176, 144, fps=25.0, cfr=True)
+    for i in range(6):
+        enc.write(np.full((144, 176, 3), i * 30, np.uint8))
+        sleep(0.2)
+    enc.close()
+    dec = native.Decoder(path, 176, 144)
+    buf = np.empty((144, 176, 3), np.uint8)
+    n = 0
+    while dec.read_into(buf) is not None:
+        n += 1
+    dec.close()
+    assert n >= 20, n  # ~1.0-1.2s of wall time at 25 fps
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason='native video runtime unavailable')
+def test_encoder_input_fps_paces_writes(tmp_path):
+    """-r before -i with -vsync drop: frames written faster than the
+    declared rate are dropped."""
+    path = str(tmp_path / 'paced.mp4')
+    enc = native.Encoder(path, 176, 144, fps=30.0, input_fps=5.0)
+    for i in range(30):  # burst-written: ~instantaneous
+        enc.write(np.full((144, 176, 3), i * 8, np.uint8))
+    enc.close()
+    dec = native.Decoder(path, 176, 144)
+    buf = np.empty((144, 176, 3), np.uint8)
+    n = 0
+    while dec.read_into(buf) is not None:
+        n += 1
+    dec.close()
+    assert n <= 3, n  # a burst collapses to the first frame (+slack)
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason='native video runtime unavailable')
+def test_muxer_override_by_format_flag(tmp_path):
+    """-f <muxer> picks the container regardless of file extension."""
+    path = str(tmp_path / 'stream.bin')
+    enc = native.Encoder(path, 176, 144, fps=10.0, fmt='mpegts')
+    for i in range(5):
+        enc.write(np.full((144, 176, 3), 50 + i * 20, np.uint8))
+    enc.close()
+    with open(path, 'rb') as f:
+        first = f.read(1)
+    assert first == b'\x47', first  # MPEG-TS sync byte

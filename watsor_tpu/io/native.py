@@ -60,6 +60,7 @@ def load():
         lib.wt_decoder_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_char_p, ctypes.c_int]
         lib.wt_decoder_read.restype = ctypes.c_int
         lib.wt_decoder_read.argtypes = [
@@ -77,7 +78,7 @@ def load():
         lib.wt_encoder_open.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_double, ctypes.c_int64, ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_int]
+            ctypes.c_double, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         lib.wt_encoder_write.restype = ctypes.c_int
         lib.wt_encoder_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.wt_encoder_read_bytes.restype = ctypes.c_int
@@ -166,7 +167,8 @@ class Decoder:
     into caller-provided numpy buffers (arena slices)."""
 
     def __init__(self, url, width, height, detect_hw=None, options=None,
-                 realtime=False, input_format=None):
+                 realtime=False, input_format=None, hwaccel=None,
+                 hwaccel_device=None, filter_fps=0.0):
         lib = load()
         errbuf = ctypes.create_string_buffer(512)
         dh, dw = detect_hw if detect_hw else (0, 0)
@@ -174,7 +176,9 @@ class Decoder:
         self._handle = lib.wt_decoder_open(
             url.encode(), width, height, dw, dh,
             (options or '').encode(), 1 if realtime else 0,
-            (input_format or '').encode(), errbuf, 512)
+            (input_format or '').encode(), (hwaccel or '').encode(),
+            (hwaccel_device or '').encode(), float(filter_fps or 0.0),
+            errbuf, 512)
         if not self._handle:
             drain_logs(lib)  # surface libav's own account of the failure
             raise IOError('decoder open failed for {}: {}'.format(
@@ -226,13 +230,14 @@ class Encoder:
     MPEG-TS byte stream (dest='mem:', format='mpegts') for HTTP broadcast."""
 
     def __init__(self, dest, width, height, fps=30.0, fmt=None, codec=None,
-                 bit_rate=0, options=None):
+                 bit_rate=0, options=None, input_fps=0.0, cfr=False):
         lib = load()
         errbuf = ctypes.create_string_buffer(512)
         self._lib = lib
         self._handle = lib.wt_encoder_open(
             dest.encode(), (fmt or '').encode(), (codec or '').encode(),
             width, height, fps, bit_rate, (options or '').encode(),
+            float(input_fps or 0.0), 1 if cfr else 0,
             errbuf, 512)
         if not self._handle:
             drain_logs(lib)

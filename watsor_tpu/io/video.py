@@ -55,7 +55,10 @@ _ARGV_OPTION_FLAGS = {
 _ARGV_NOOP_FLAGS = frozenset((
     '-hide_banner', '-nostdin', '-nostats', '-y', '-an', '-sn', '-dn',
 ))
-_ARGV_NOOP_VALUE_FLAGS = frozenset(('-loglevel', '-threads'))
+# -hwaccel_output_format: the native pipeline always converts to RGB24 via
+# swscale after (optional) hw download, so the intermediate format is moot
+_ARGV_NOOP_VALUE_FLAGS = frozenset(('-loglevel', '-threads',
+                                    '-hwaccel_output_format'))
 
 # output-side plumbing the schema requires and the framework owns
 # (/root/reference/watsor/config/schema.py:161): skipped with their value
@@ -74,14 +77,77 @@ def _is_option_value(token):
     return len(token) > 1 and (token[1].isdigit() or token[1] == '.')
 
 
+def _parse_rate(text):
+    """ffmpeg rate syntax: '10', '29.97' or the fraction '30000/1001'."""
+    text = str(text).strip()
+    try:
+        if '/' in text:
+            num, den = text.split('/', 1)
+            return float(num) / float(den)
+        return float(text)
+    except (ValueError, ZeroDivisionError):
+        return None
+
+
+def _parse_filtergraph(chain):
+    """Split an ffmpeg ``-vf`` chain into honored intents.
+
+    Returns ``(fps, drawtext, unknown)``: ``fps=fps=N``/``fps=N`` maps onto
+    native pts-spaced frame dropping; ``scale=W:H`` is satisfied by design
+    (the native decoder always swscales to the configured frame size, the
+    same final geometry ffmpeg's scale + injected ``-s WxH`` produces);
+    ``drawtext=...`` is honored by the host timestamp overlay. Anything
+    else is reported back for the warning."""
+    fps = None
+    drawtext = None
+    unknown = []
+    depth = 0
+    parts = []
+    current = []
+    for ch in chain:  # commas inside quotes/parens don't split filters
+        if ch in '([{':
+            depth += 1
+        elif ch in ')]}':
+            depth -= 1
+        if ch == ',' and depth == 0:
+            parts.append(''.join(current))
+            current = []
+        else:
+            current.append(ch)
+    parts.append(''.join(current))
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        name, _, args = part.partition('=')
+        name = name.strip().strip("'\"")
+        if name == 'fps':
+            value = args.partition('=')[2] if args.startswith('fps=') \
+                else args
+            fps = _parse_rate(value.split(':')[0])
+            if fps is None:
+                unknown.append(part)
+        elif name == 'scale':
+            pass
+        elif name == 'drawtext':
+            drawtext = args
+        else:
+            unknown.append(name)
+    return fps, drawtext, unknown
+
+
 class DecoderArgs:
     """Decoded form of a watsor-style ffmpeg decoder argv."""
 
-    def __init__(self, options, realtime, input_format, unknown):
+    def __init__(self, options, realtime, input_format, unknown,
+                 hwaccel=None, hwaccel_device=None, filter_fps=None):
         self.options = options            # 'key=value,...' AVOptions
         self.realtime = realtime          # ffmpeg -re
         self.input_format = input_format  # ffmpeg -f before -i (v4l2, ...)
         self.unknown = unknown            # untranslated flags, for warnings
+        self.hwaccel = hwaccel            # ffmpeg -hwaccel method
+        self.hwaccel_device = hwaccel_device
+        self.filter_fps = filter_fps      # -vf fps=N frame-drop rate
 
 
 def decoder_args_from_argv(argv):
@@ -90,13 +156,18 @@ def decoder_args_from_argv(argv):
     ``['ffmpeg', <input flags>, '-i', url, <rawvideo plumbing>, '-']``).
 
     Flags before ``-i`` configure the input (translated to AVOptions /
-    input format); everything after it is the rawvideo pipe contract the
-    framework owns. Untranslated flags are collected in ``unknown`` so the
-    caller can warn instead of silently dropping user intent."""
+    input format / hw device); ``-vf``/``-filter:v`` chains translate to
+    native frame dropping (fps) and scaling (scale). Everything after the
+    pipe plumbing is the rawvideo contract the framework owns.
+    Untranslated flags are collected in ``unknown`` so the caller can warn
+    instead of silently dropping user intent."""
     options = []
     realtime = False
     input_format = None
     unknown = []
+    hwaccel = None
+    hwaccel_device = None
+    filter_fps = None
     try:
         input_end = argv.index('-i')
     except ValueError:
@@ -115,6 +186,18 @@ def decoder_args_from_argv(argv):
         elif arg == '-f' and before_input and has_value:
             input_format = argv[i + 1]
             i += 1
+        elif arg == '-hwaccel' and has_value:
+            hwaccel = argv[i + 1]
+            i += 1
+        elif arg == '-hwaccel_device' and has_value:
+            hwaccel_device = argv[i + 1]
+            i += 1
+        elif arg in ('-vf', '-filter:v') and has_value:
+            fps, _, bad = _parse_filtergraph(argv[i + 1])
+            if fps is not None:
+                filter_fps = fps
+            unknown.extend('{} {}'.format(arg, f) for f in bad)
+            i += 1
         elif arg in _ARGV_OPTION_FLAGS and before_input and has_value:
             options.append('{}={}'.format(_ARGV_OPTION_FLAGS[arg],
                                           argv[i + 1]))
@@ -129,7 +212,9 @@ def decoder_args_from_argv(argv):
             unknown.append(arg)
             i += 1 if has_value else 0
         i += 1
-    return DecoderArgs(','.join(options), realtime, input_format, unknown)
+    return DecoderArgs(','.join(options), realtime, input_format, unknown,
+                       hwaccel=hwaccel, hwaccel_device=hwaccel_device,
+                       filter_fps=filter_fps)
 
 
 def decoder_options_from_argv(argv):
@@ -174,29 +259,58 @@ def _parse_bitrate(text):
 class EncoderArgs:
     """Decoded form of a watsor-style ffmpeg encoder argv."""
 
-    def __init__(self, codec, bit_rate, fps, options, unknown):
+    def __init__(self, codec, bit_rate, fps, options, unknown,
+                 input_fps=None, cfr=False, format=None, drawtext=None):
         self.codec = codec          # libav encoder name ('libx264', ...)
         self.bit_rate = bit_rate    # bits/s, 0 = native default
         self.fps = fps              # -r on the OUTPUT side, None = source
         self.options = options      # 'key=value,...' codec AVOptions
         self.unknown = unknown
+        self.input_fps = input_fps  # -r before -i (+ -vsync drop): pace in
+        self.cfr = cfr              # -vsync cfr: constant output rate
+        self.format = format        # -f muxer override (mpegts, mp4, ...)
+        self.drawtext = drawtext    # -vf drawtext=... spec (host overlay)
 
 
 def encoder_args_from_argv(argv):
     """Translate a normalized encoder argv
     (``['ffmpeg', <rawvideo in>, '-s', 'WxH', '-i', '-', <output flags>,
     target]``). Flags before ``-i`` describe the rawvideo pipe the
-    framework owns; flags after it are the user's encoder tuning and are
-    honored (codec, bitrate, fps, preset/profile/tune/crf/gop)."""
+    framework owns, except ``-r``/``-vsync drop`` which declare input
+    pacing (the README "fluent video" trick,
+    /root/reference/README.md:215-243); flags after it are the user's
+    encoder tuning and are honored (codec, bitrate, fps + cfr duplication,
+    muxer, preset/profile/tune/crf/gop, drawtext overlay). ``-hwaccel*``
+    flags are accepted as no-ops: in the reference command they would only
+    affect decoding of the rawvideo pipe input, which is a no-op there too."""
     codec = None
     bit_rate = 0
     fps = None
     options = []
     unknown = []
+    input_fps = None
+    input_vsync = None
+    output_vsync = None
+    fmt = None
+    drawtext = None
     try:
-        start = argv.index('-i') + 2  # skip '-i' and the pipe token
+        input_end = argv.index('-i')
+        start = input_end + 2        # skip '-i' and the pipe token
     except ValueError:
+        input_end = 0
         start = 0
+    # input side: only pacing flags matter; the rawvideo contract is ours
+    i = 0
+    while i < input_end:
+        arg = argv[i]
+        has_value = i + 1 < len(argv) and _is_option_value(argv[i + 1])
+        if arg == '-r' and has_value:
+            input_fps = _parse_rate(argv[i + 1])
+            i += 1
+        elif arg == '-vsync' and has_value:
+            input_vsync = argv[i + 1]
+            i += 1
+        i += 1
     i = start
     while i < len(argv):
         arg = argv[i]
@@ -210,17 +324,30 @@ def encoder_args_from_argv(argv):
             bit_rate = _parse_bitrate(argv[i + 1])
             i += 1
         elif arg == '-r' and has_value:
-            try:
-                fps = float(argv[i + 1])
-            except ValueError:
-                pass
+            fps = _parse_rate(argv[i + 1])
+            i += 1
+        elif arg == '-vsync' and has_value:
+            output_vsync = argv[i + 1]
+            i += 1
+        elif arg in ('-vf', '-filter:v') and has_value:
+            ffps, text, bad = _parse_filtergraph(argv[i + 1])
+            if ffps is not None and fps is None:
+                fps = ffps
+            if text is not None:
+                drawtext = text
+            unknown.extend('{} {}'.format(arg, f) for f in bad)
             i += 1
         elif arg in _ENCODER_VALUE_FLAGS and has_value:
             options.append('{}={}'.format(_ENCODER_VALUE_FLAGS[arg],
                                           argv[i + 1]))
             i += 1
-        elif arg in ('-f', '-pix_fmt') and has_value:
-            i += 1                   # container by destination; yuv420p fixed
+        elif arg == '-f' and has_value:
+            fmt = argv[i + 1]        # muxer override; else by destination
+            i += 1
+        elif arg == '-pix_fmt' and has_value:
+            i += 1                   # yuv420p fixed
+        elif arg in ('-hwaccel', '-hwaccel_device') and has_value:
+            i += 1                   # decode-side flags: no-op on rawvideo
         elif arg in _ARGV_NOOP_FLAGS:
             pass
         elif arg in _ARGV_NOOP_VALUE_FLAGS:
@@ -232,7 +359,122 @@ def encoder_args_from_argv(argv):
     # ffmpeg maps codec aliases; honor the common ones
     if codec in ('h264', 'x264'):
         codec = 'libx264'
-    return EncoderArgs(codec, bit_rate, fps, ','.join(options), unknown)
+    cfr = output_vsync in ('cfr', '1')
+    if input_vsync not in (None, 'drop', 'passthrough', '0', '2'):
+        unknown.append('-vsync ' + input_vsync)
+    return EncoderArgs(codec, bit_rate, fps, ','.join(options), unknown,
+                       input_fps=input_fps, cfr=cfr, format=fmt,
+                       drawtext=drawtext)
+
+
+class DrawTextOverlay:
+    """Host-side rendering of the common ffmpeg ``drawtext`` use: a
+    timestamp burned into recorded/broadcast video (the reference demo
+    config's encoder filter, /root/reference/config/config.yaml:62-63).
+
+    Supports the fields that matter for that use: ``text`` with
+    ``%{localtime}``/``%{localtime\\:FMT}`` expansion, ``x``/``y``
+    position expressions over ``w h tw th lh``, ``fontcolor``, ``box`` +
+    ``boxcolor`` (with ``@alpha``). Anything else in the spec is ignored
+    rather than refused — the overlay still renders."""
+
+    _COLORS = {'white': (255, 255, 255), 'black': (0, 0, 0),
+               'red': (255, 0, 0), 'green': (0, 255, 0),
+               'blue': (0, 0, 255), 'yellow': (255, 255, 0),
+               'gray': (128, 128, 128), 'orange': (255, 165, 0)}
+
+    def __init__(self, spec):
+        self.fields = self._parse(spec or '')
+        text = self.fields.get('text', '%{localtime}')
+        self._template, self._timefmt = self._split_text(text)
+        self._fontcolor = self._color(self.fields.get('fontcolor', 'white'))[0]
+        self._box = self.fields.get('box', '0') not in ('0', '', 'false')
+        self._boxcolor, self._boxalpha = self._color(
+            self.fields.get('boxcolor', 'black@0.5'))
+
+    @staticmethod
+    def _parse(spec):
+        spec = spec.strip().strip("'\"")
+        fields = {}
+        part = []
+        parts = []
+        i = 0
+        while i < len(spec):  # ':' splits fields, '\:' is literal
+            ch = spec[i]
+            if ch == '\\' and i + 1 < len(spec):
+                part.append(spec[i + 1])
+                i += 2
+                continue
+            if ch == ':':
+                parts.append(''.join(part))
+                part = []
+            else:
+                part.append(ch)
+            i += 1
+        parts.append(''.join(part))
+        for item in parts:
+            key, eq, value = item.partition('=')
+            if eq:
+                fields[key.strip().strip("'\"")] = value.strip().strip("'\"")
+        return fields
+
+    @staticmethod
+    def _split_text(text):
+        """'%{localtime:%c}' -> (prefix with %s slot, strftime format)."""
+        start = text.find('%{localtime')
+        if start < 0:
+            return text, None
+        end = text.find('}', start)
+        inner = text[start + len('%{localtime'):end if end > 0 else None]
+        timefmt = inner[1:] if inner.startswith(':') else '%c'
+        tail = text[end + 1:] if end > 0 else ''
+        return text[:start] + '%s' + tail, timefmt or '%c'
+
+    @classmethod
+    def _color(cls, value):
+        name, _, alpha = value.partition('@')
+        rgb = cls._COLORS.get(name.strip().lower(), (255, 255, 255))
+        try:
+            a = float(alpha) if alpha else 1.0
+        except ValueError:
+            a = 1.0
+        return rgb, a
+
+    def _position(self, w, h, tw, th):
+        lh = th + 4
+        env = {'w': w, 'h': h, 'tw': tw, 'th': th, 'lh': lh,
+               'text_w': tw, 'text_h': th, 'line_h': lh,
+               'main_w': w, 'main_h': h, '__builtins__': {}}
+
+        def ev(expr, default):
+            try:
+                return int(eval(expr, env))  # arithmetic over w/h/tw/th/lh
+            except Exception:
+                return default
+        x = ev(self.fields.get('x', '8'), 8)
+        y = ev(self.fields.get('y', str(h - 2 * lh)), h - 2 * lh)
+        return max(0, min(x, w - tw)), max(th, min(y + th, h - 2))
+
+    def apply(self, image):
+        import cv2
+        from time import localtime, strftime
+        text = self._template
+        if self._timefmt:
+            text = text % strftime(self._timefmt, localtime())
+        h, w = image.shape[:2]
+        scale = max(0.4, h / 1080.0 * 0.8)
+        (tw, th), baseline = cv2.getTextSize(
+            text, cv2.FONT_HERSHEY_SIMPLEX, scale, 1)
+        x, y = self._position(w, h, tw, th)
+        if self._box:
+            x0, y0 = max(0, x - 3), max(0, y - th - 3)
+            x1, y1 = min(w, x + tw + 3), min(h, y + baseline + 3)
+            patch = image[y0:y1, x0:x1].astype(np.float32)
+            color = np.asarray(self._boxcolor, np.float32)
+            blended = patch * (1.0 - self._boxalpha) + color * self._boxalpha
+            image[y0:y1, x0:x1] = blended.astype(np.uint8)
+        cv2.putText(image, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale,
+                    self._fontcolor, 1, cv2.LINE_AA)
 
 
 class VideoDecoder(ReadDetectPublish):
@@ -241,10 +483,14 @@ class VideoDecoder(ReadDetectPublish):
 
     def __init__(self, name, frame_queue, frame_buffer: FrameBuffer, url,
                  stop_event=None, options='', realtime=None,
-                 rate_limiter=None, input_format=None):
+                 rate_limiter=None, input_format=None, hwaccel=None,
+                 hwaccel_device=None, filter_fps=None):
         self._url = url
         self._options = options
         self._input_format = input_format
+        self._hwaccel = hwaccel
+        self._hwaccel_device = hwaccel_device
+        self._filter_fps = filter_fps
         # files default to paced playback (the CLI analog is `-re`)
         if realtime is None:
             realtime = os.path.exists(url)
@@ -268,7 +514,10 @@ class VideoDecoder(ReadDetectPublish):
         self._decoder = native.Decoder(self._url, w, h, detect_hw=detect_hw,
                                        options=self._options,
                                        realtime=self._realtime,
-                                       input_format=self._input_format)
+                                       input_format=self._input_format,
+                                       hwaccel=self._hwaccel,
+                                       hwaccel_device=self._hwaccel_device,
+                                       filter_fps=self._filter_fps or 0.0)
 
     def _close_decoder(self):
         if self._decoder is not None:
@@ -328,7 +577,8 @@ class VideoEncoder(WorkPublish, Publish):
 
     def __init__(self, name, frame_queue, frame_buffer, width, height,
                  fps=30.0, output_path=None, broadcast=False,
-                 stop_event=None, codec=None, bit_rate=0, options=None):
+                 stop_event=None, codec=None, bit_rate=0, options=None,
+                 input_fps=None, cfr=False, fmt=None, drawtext=None):
         self._width = width
         self._height = height
         self._fps_target = fps if fps and fps > 0 else 30.0
@@ -337,6 +587,11 @@ class VideoEncoder(WorkPublish, Publish):
         self._codec = codec
         self._bit_rate = bit_rate
         self._options = options
+        self._input_fps = input_fps or 0.0
+        self._cfr = bool(cfr)
+        self._format = fmt
+        self._drawtext = DrawTextOverlay(drawtext) if drawtext else None
+        self._scratch = None
         self._file_encoder = None
         self._ts_encoder = None
         self.ts_ring = MpegTSRing() if broadcast else None
@@ -354,13 +609,15 @@ class VideoEncoder(WorkPublish, Publish):
         if self._output_path:
             self._file_encoder = native.Encoder(
                 self._output_path, self._width, self._height,
-                fps=self._fps_target, codec=self._codec,
-                bit_rate=self._bit_rate, options=self._options)
+                fps=self._fps_target, fmt=self._format, codec=self._codec,
+                bit_rate=self._bit_rate, options=self._options,
+                input_fps=self._input_fps, cfr=self._cfr)
         if self._broadcast:
             self._ts_encoder = native.Encoder(
                 'mem:', self._width, self._height, fps=self._fps_target,
                 fmt='mpegts', codec=self._codec,
-                bit_rate=self._bit_rate, options=self._options)
+                bit_rate=self._bit_rate, options=self._options,
+                input_fps=self._input_fps, cfr=self._cfr)
 
     def _on_stop(self):
         self._close_encoders()
@@ -377,10 +634,20 @@ class VideoEncoder(WorkPublish, Publish):
 
     def _new_frame(self, frame, payload):
         try:
+            image = frame.image
+            if self._drawtext is not None:
+                # overlay on a private copy: the out frame is fanned out to
+                # other subscribers (MJPEG) that must not see the stamp
+                if self._scratch is None or \
+                        self._scratch.shape != image.shape:
+                    self._scratch = np.empty_like(image)
+                np.copyto(self._scratch, image)
+                self._drawtext.apply(self._scratch)
+                image = self._scratch
             if self._file_encoder is not None:
-                self._file_encoder.write(frame.image)
+                self._file_encoder.write(image)
             if self._ts_encoder is not None:
-                self._ts_encoder.write(frame.image)
+                self._ts_encoder.write(image)
                 self._pump_ts()
             self._wrote_any = True
             self.fps(True)

@@ -185,6 +185,9 @@ class Application:
                             options=args.options,
                             realtime=args.realtime or None,
                             input_format=args.input_format,
+                            hwaccel=args.hwaccel,
+                            hwaccel_device=args.hwaccel_device,
+                            filter_fps=args.filter_fps,
                             rate_limiter=rate_limiter)
 
     def _create_encoder(self, camera_name, camera_config, buffer_out,
@@ -205,7 +208,10 @@ class Application:
             camera_config['width'], camera_config['height'],
             fps=args.fps or 30.0,
             output_path=output_path, broadcast=output_path is None,
-            codec=args.codec, bit_rate=args.bit_rate, options=args.options)
+            codec=args.codec, bit_rate=args.bit_rate, options=args.options,
+            input_fps=args.input_fps, cfr=args.cfr,
+            fmt=args.format if output_path else None,
+            drawtext=args.drawtext)
         visual_effects.subscribe(encoder_queue)
         return encoder
 

@@ -16,6 +16,7 @@
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/hwcontext.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #include <libavutil/time.h>
@@ -103,6 +104,8 @@ struct WtDecoder {
     SwsContext* sws_detect = nullptr;
     AVPacket* pkt = nullptr;
     AVFrame* frame = nullptr;
+    AVFrame* sw_frame = nullptr;   // hwaccel download target
+    AVBufferRef* hw_device = nullptr;
     int stream_index = -1;
     int out_w = 0, out_h = 0;
     int detect_w = 0, detect_h = 0;
@@ -110,12 +113,17 @@ struct WtDecoder {
     bool realtime = false;       // pace file playback by pts (ffmpeg -re)
     int64_t start_wall_us = -1;  // wall clock at first frame
     double first_pts = -1.0;
+    double filter_fps = 0.0;     // ffmpeg `-vf fps=N`: pts-spaced frame drop
+    double next_due_pts = -1.0;
 };
 
 extern "C" WtDecoder* wt_decoder_open(const char* url, int out_w, int out_h,
                                       int detect_w, int detect_h,
                                       const char* options, int realtime,
                                       const char* input_format,
+                                      const char* hwaccel,
+                                      const char* hwaccel_device,
+                                      double filter_fps,
                                       char* errbuf, int errbuf_len) {
     avformat_network_init();
     av_log_set_callback(wt_log_callback);
@@ -125,6 +133,7 @@ extern "C" WtDecoder* wt_decoder_open(const char* url, int out_w, int out_h,
     d->detect_w = detect_w;
     d->detect_h = detect_h;
     d->realtime = realtime != 0;
+    d->filter_fps = filter_fps > 0 ? filter_fps : 0.0;
 
     // honor `ffmpeg -f <fmt>` input forcing (v4l2 devices, mjpeg streams)
     const AVInputFormat* ifmt = nullptr;
@@ -165,6 +174,31 @@ extern "C" WtDecoder* wt_decoder_open(const char* url, int out_w, int out_h,
     d->codec = avcodec_alloc_context3(decoder);
     avcodec_parameters_to_context(d->codec, stream->codecpar);
     d->codec->thread_count = 0;  // auto
+    // `ffmpeg -hwaccel <method> [-hwaccel_device <dev>]`: create the named
+    // hw device and hand it to the decoder. Like the ffmpeg CLI's default
+    // (non-strict) behavior, failure to set the device up falls back to
+    // software decoding with a warning rather than aborting the stream.
+    if (hwaccel && *hwaccel) {
+        AVHWDeviceType hw_type = av_hwdevice_find_type_by_name(hwaccel);
+        if (hw_type == AV_HWDEVICE_TYPE_NONE) {
+            av_log(nullptr, AV_LOG_WARNING,
+                   "hwaccel '%s' is not known to this libav build; "
+                   "decoding in software\n", hwaccel);
+        } else {
+            int hw_err = av_hwdevice_ctx_create(
+                &d->hw_device, hw_type,
+                (hwaccel_device && *hwaccel_device) ? hwaccel_device
+                                                    : nullptr,
+                nullptr, 0);
+            if (hw_err < 0) {
+                av_log(nullptr, AV_LOG_WARNING,
+                       "hwaccel '%s' device setup failed (%s); decoding in "
+                       "software\n", hwaccel, av_errstr(hw_err).c_str());
+            } else {
+                d->codec->hw_device_ctx = av_buffer_ref(d->hw_device);
+            }
+        }
+    }
     // the same option string feeds the codec too: codec-level AVOptions the
     // demuxer didn't consume (flags=low_delay, ...) apply here; unknown
     // leftovers are ignored rather than fatal (ffmpeg CLI behavior)
@@ -227,6 +261,31 @@ extern "C" int wt_decoder_read(WtDecoder* d, uint8_t* full_rgb,
             if (d->frame->best_effort_timestamp != AV_NOPTS_VALUE) {
                 pts = d->frame->best_effort_timestamp * av_q2d(stream->time_base);
             }
+            if (d->filter_fps > 0) {
+                // ffmpeg `-vf fps=N` drop semantics: keep frames spaced by
+                // 1/N in presentation time, re-anchoring after gaps
+                if (d->next_due_pts >= 0 && pts + 1e-6 < d->next_due_pts) {
+                    av_frame_unref(d->frame);
+                    continue;  // dropped before any scaling work
+                }
+                double step = 1.0 / d->filter_fps;
+                d->next_due_pts = (d->next_due_pts < 0 ? pts : d->next_due_pts)
+                                  + step;
+                if (pts > d->next_due_pts) d->next_due_pts = pts + step;
+            }
+            if (d->frame->hw_frames_ctx) {
+                // hwaccel decode: download the surface to system memory
+                if (!d->sw_frame) d->sw_frame = av_frame_alloc();
+                int hw_err = av_hwframe_transfer_data(d->sw_frame, d->frame, 0);
+                if (hw_err < 0) {
+                    av_frame_unref(d->frame);
+                    return hw_err;
+                }
+                d->sw_frame->best_effort_timestamp =
+                    d->frame->best_effort_timestamp;
+                av_frame_unref(d->frame);
+                av_frame_move_ref(d->frame, d->sw_frame);
+            }
             if (d->realtime) {
                 // pace playback to presentation time (the analog of -re)
                 if (d->start_wall_us < 0) {
@@ -274,8 +333,10 @@ extern "C" void wt_decoder_close(WtDecoder* d) {
     if (d->sws_full) sws_freeContext(d->sws_full);
     if (d->sws_detect) sws_freeContext(d->sws_detect);
     av_frame_free(&d->frame);
+    av_frame_free(&d->sw_frame);
     av_packet_free(&d->pkt);
     avcodec_free_context(&d->codec);
+    av_buffer_unref(&d->hw_device);
     avformat_close_input(&d->fmt);
     delete d;
 }
@@ -294,6 +355,17 @@ struct WtEncoder {
     int w = 0, h = 0;
     int64_t next_pts = 0;
     bool header_written = false;
+    // ffmpeg vsync emulation: `-r <in> -vsync drop` before -i paces the
+    // raw input by dropping, `-r <out> -vsync cfr` after -i duplicates
+    // frames to a constant output rate (the README "fluent video" trick,
+    // /root/reference/README.md:215-243)
+    double input_fps = 0.0;       // drop input frames above this rate
+    int64_t last_accept_us = -1;
+    bool cfr = false;             // constant output rate by wall clock
+    double out_fps = 30.0;
+    int64_t cfr_start_us = -1;
+    int64_t last_pts = -1;
+    bool have_frame = false;      // e->frame holds a previous picture
     // in-memory sink for MPEG-TS broadcast (dest == "mem:")
     bool mem_sink = false;
     std::mutex mem_mutex;
@@ -319,11 +391,15 @@ extern "C" WtEncoder* wt_encoder_open(const char* dest, const char* format,
                                       const char* codec_name, int w, int h,
                                       double fps, int64_t bit_rate,
                                       const char* options,
+                                      double input_fps, int cfr,
                                       char* errbuf, int errbuf_len) {
     av_log_set_callback(wt_log_callback);
     WtEncoder* e = new WtEncoder();
     e->w = w;
     e->h = h;
+    e->input_fps = input_fps > 0 ? input_fps : 0.0;
+    e->cfr = cfr != 0;
+    e->out_fps = fps > 0 ? fps : 30.0;
     e->mem_sink = dest && std::strncmp(dest, "mem:", 4) == 0;
 
     int err = avformat_alloc_output_context2(
@@ -431,6 +507,41 @@ static int wt_encoder_drain(WtEncoder* e) {
 }
 
 extern "C" int wt_encoder_write(WtEncoder* e, const uint8_t* rgb) {
+    int64_t now = av_gettime_relative();
+    if (e->input_fps > 0) {
+        // `-r <fps> -vsync drop` on the rawvideo input: frames arriving
+        // faster than the declared rate are dropped before any scaling
+        int64_t period = (int64_t)(1e6 / e->input_fps);
+        if (e->last_accept_us >= 0 &&
+            now - e->last_accept_us < period - period / 20) {
+            return 0;
+        }
+        e->last_accept_us = e->last_accept_us < 0 ? now
+                            : e->last_accept_us + period;
+        if (now - e->last_accept_us > period) e->last_accept_us = now;
+    }
+    int err = 0;
+    if (e->cfr) {
+        // `-vsync cfr`: stamp by wall clock at the output rate, duplicating
+        // the previous frame across gaps and dropping when input outpaces
+        if (e->cfr_start_us < 0) e->cfr_start_us = now;
+        int64_t target = (int64_t)((now - e->cfr_start_us) * 1e-6
+                                   * e->out_fps + 0.5);
+        if (e->have_frame && target <= e->last_pts) return 0;  // too fast
+        int64_t gap_start = e->last_pts + 1;
+        if (e->have_frame && target > gap_start) {
+            // cap the catch-up burst (e.g. after a long stall) at 2 seconds
+            int64_t max_dup = (int64_t)(2 * e->out_fps);
+            if (target - gap_start > max_dup) gap_start = target - max_dup;
+            for (int64_t p = gap_start; p < target; ++p) {
+                e->frame->pts = p;
+                if ((err = avcodec_send_frame(e->codec, e->frame)) < 0)
+                    return err;
+                if ((err = wt_encoder_drain(e)) < 0) return err;
+            }
+        }
+        e->next_pts = target;
+    }
     e->sws = sws_getCachedContext(e->sws, e->w, e->h, AV_PIX_FMT_RGB24,
                                   e->w, e->h, AV_PIX_FMT_YUV420P,
                                   SWS_BILINEAR, nullptr, nullptr, nullptr);
@@ -439,8 +550,11 @@ extern "C" int wt_encoder_write(WtEncoder* e, const uint8_t* rgb) {
     int src_stride[4] = {e->w * 3, 0, 0, 0};
     sws_scale(e->sws, src, src_stride, 0, e->h, e->frame->data,
               e->frame->linesize);
-    e->frame->pts = e->next_pts++;
-    int err = avcodec_send_frame(e->codec, e->frame);
+    e->frame->pts = e->next_pts;
+    e->last_pts = e->next_pts;
+    e->next_pts++;
+    e->have_frame = true;
+    err = avcodec_send_frame(e->codec, e->frame);
     if (err < 0) return err;
     return wt_encoder_drain(e);
 }
@@ -553,5 +667,5 @@ extern "C" int wt_log_next(char* buf, int cap) {
 }
 
 extern "C" const char* wt_version() {
-    return "watsor-tpu-native 0.2 (" LIBAVFORMAT_IDENT ")";
+    return "watsor-tpu-native 0.3 (" LIBAVFORMAT_IDENT ")";
 }
