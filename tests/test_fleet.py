@@ -104,3 +104,16 @@ def test_sharded_train_step_runs(mesh):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics['loss']))
     assert int(state.step) == 1
+
+
+def test_fleet_adopts_prebuilt_detector_weights(mesh):
+    """FleetDetector must carry the zoo-loaded weights, not re-initialize
+    (main.py passes the detector it built — stored weights survive fleet
+    mode)."""
+    from watsor_tpu.models.ssd import build_detector
+    cfg = SSDConfig(num_classes=3)
+    base = build_detector(cfg, rng=jax.random.PRNGKey(7))
+    fleet = FleetDetector(mesh, cfg, detector=base)
+    leaf = jax.tree_util.tree_leaves(base.params)[0]
+    fleet_leaf = jax.tree_util.tree_leaves(fleet.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(fleet_leaf))

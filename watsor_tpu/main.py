@@ -382,7 +382,7 @@ class Application:
             from watsor_tpu.parallel.fleet import FleetDetector
             from watsor_tpu.parallel.mesh import make_mesh
             mesh = make_mesh()
-            fleet = FleetDetector(mesh, detector.config)
+            fleet = FleetDetector(mesh, detector.config, detector=detector)
             any_queue = next(iter(queues.values()))
             self._detectors = [ObjectDetector(
                 'detector-fleet', any_queue, buffers, FleetBackend(fleet),

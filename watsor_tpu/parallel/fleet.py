@@ -26,10 +26,18 @@ class FleetDetector:
     """
 
     def __init__(self, mesh, config: SSDConfig = SSDConfig(), rng=None,
-                 model_parallel=True):
+                 model_parallel=True, params=None, anchors=None,
+                 detector=None):
         self.mesh = mesh
         self.config = config
-        self.detector = build_detector(config, rng=rng)
+        if detector is not None:
+            # adopt a prebuilt detector (zoo-loaded weights, EfficientDet,
+            # ...) instead of re-initializing — main.py passes the one it
+            # built so stored weights survive fleet mode
+            self.detector = detector
+        else:
+            self.detector = build_detector(config, rng=rng, params=params,
+                                           anchors=anchors)
         self.params = jax.device_put(
             self.detector.params,
             param_shardings(mesh, self.detector.params, model_parallel))
