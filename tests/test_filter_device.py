@@ -90,3 +90,144 @@ def test_zones_disabled_passes_everything():
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
         *_batchify(conf, area, zs, za))
     assert int(valid[0]) == 1
+
+
+def _adversarial_zone_rig():
+    """A non-convex zone + a narrow second zone at full resolution, with
+    boxes concentrated around the boundaries (the disagreement band of the
+    device grid)."""
+    import cv2
+    h, w = 480, 640
+    alpha = np.zeros((h, w), np.uint8)
+    # zone 1: L-shaped (non-convex), deliberately off grid-cell boundaries
+    alpha[101:237, 53:211] = 255
+    alpha[180:237, 211:402] = 255
+    # zone 2: thin diagonal strip (brushes many cells only partially)
+    pts = np.array([[430, 300], [600, 430], [590, 450], [420, 320]])
+    cv2.fillPoly(alpha, [pts], 255)
+    zone_mask = ZoneMask(alpha, (h, w, 3))
+    assert zone_mask.num_zones == 2
+
+    rng = np.random.default_rng(11)
+    boxes = []
+    # boxes hugging the zone borders: centers sampled ON the boundary
+    edges = cv2.Canny((alpha > 0).astype(np.uint8) * 255, 50, 150)
+    ys, xs = np.nonzero(edges)
+    idx = rng.choice(len(ys), 1200)
+    for y, x in zip(ys[idx], xs[idx]):
+        bh = rng.uniform(2, 40)
+        bw = rng.uniform(2, 40)
+        dy = rng.uniform(-bh, bh)
+        dx = rng.uniform(-bw, bw)
+        boxes.append([(y + dy) / h, (x + dx) / w,
+                      (y + dy + bh) / h, (x + dx + bw) / w])
+    # plus uniform boxes over the frame
+    for _ in range(800):
+        y0 = rng.uniform(0, 0.95)
+        x0 = rng.uniform(0, 0.95)
+        boxes.append([y0, x0, y0 + rng.uniform(0.005, 0.3),
+                      x0 + rng.uniform(0.005, 0.3)])
+    boxes = np.clip(np.asarray(boxes, np.float32), 0.0, 1.0)
+    return zone_mask, boxes
+
+
+def _host_keep(zone_mask, cfg, boxes, labels):
+    """Ground truth via the host cascade (filters/mask.MaskFilter)."""
+    from watsor_tpu.filters.mask import MaskFilter
+    from watsor_tpu.runtime.frames import DETECTION_DTYPE
+    h, w = zone_mask.shape
+    records = np.zeros(len(boxes), DETECTION_DTYPE)
+    records['label'] = labels
+    records['bbox'] = boxes * np.array([h, w, h, w], np.float32)
+    records['confidence'] = 0.9
+    return MaskFilter(cfg, zone_mask)(records, (h, w, 3)), records
+
+
+def test_device_zone_test_never_drops_true_detections():
+    """Over-approximation property: every detection the full-resolution
+    host test keeps must survive the device grid test (VERDICT weak #3:
+    the old 0.25-coverage rasterization could silently drop
+    boundary-adjacent boxes)."""
+    zone_mask, boxes = _adversarial_zone_rig()
+    cfg = [{'person': {'confidence': 10, 'area': 0.0001, 'zones': []}}]
+    n = len(boxes)
+    labels = np.ones(n, np.int32)
+    conf, area = threshold_tables(cfg)
+    zs, za = zone_tables(zone_mask, cfg)
+    out_s, out_c, zones_hit, valid = apply_filters_device(
+        boxes[None], np.full((1, n), 0.9, np.float32), labels[None],
+        conf[None], area[None], zs[None], za[None])
+    device_keep = np.asarray(out_s)[0] > 0
+
+    host_keep, _ = _host_keep(zone_mask, cfg, boxes, labels)
+    false_drops = host_keep & ~device_keep
+    assert not false_drops.any(), \
+        '{} host-kept detections dropped by the device grid'.format(
+            false_drops.sum())
+
+
+def test_zone_refiner_restores_exact_host_semantics():
+    """Device over-approx keep + ZoneRefiner == host MaskFilter, bit-exact
+    (keeps AND per-detection zone sets), including per-class zone
+    allow-lists."""
+    from watsor_tpu.ops.filter_device import ZoneRefiner
+    zone_mask, boxes = _adversarial_zone_rig()
+    cfg = [{'person': {'confidence': 10, 'area': 0.0001, 'zones': [2]}},
+           {'car': {'confidence': 10, 'area': 0.0001, 'zones': []}}]
+    rng = np.random.default_rng(5)
+    n = len(boxes)
+    labels = rng.choice([1, 3], n).astype(np.int32)  # person / car
+
+    conf, area = threshold_tables(cfg)
+    zs, za = zone_tables(zone_mask, cfg)
+    out_s, out_c, zones_hit, valid = apply_filters_device(
+        boxes[None], np.full((1, n), 0.9, np.float32), labels[None],
+        conf[None], area[None], zs[None], za[None])
+    scores = np.asarray(out_s)[0].copy()
+    hits = np.asarray(zones_hit)[0].copy()
+
+    refiner = ZoneRefiner(zone_mask, cfg)
+    rows = np.nonzero(scores > 0)[0]
+    keep, exact_hits = refiner(boxes[rows], labels[rows])
+    final_keep = np.zeros(n, bool)
+    final_keep[rows[keep]] = True
+
+    host_keep, records = _host_keep(zone_mask, cfg, boxes, labels)
+    np.testing.assert_array_equal(final_keep, host_keep)
+
+    # zone sets match for every kept detection
+    for local, i in enumerate(rows):
+        if not final_keep[i]:
+            continue
+        host_zones = set(records['zones'][i][:records['num_zones'][i]])
+        dev_zones = set(np.nonzero(exact_hits[local])[0] + 1)
+        assert dev_zones == host_zones, (i, dev_zones, host_zones)
+
+
+def test_backend_refiner_plumbing():
+    """_refine_zones drops the boundary false-keeps in the sliced result
+    arrays (the resolve() integration point for both backends)."""
+    from watsor_tpu.detection.backend import _refine_zones
+    from watsor_tpu.ops.filter_device import ZoneRefiner
+    zone_mask, _ = _adversarial_zone_rig()
+    cfg = [{'person': {'confidence': 10, 'area': 0.0001, 'zones': []}}]
+    # one box fully outside any zone but within one grid cell of zone 1's
+    # border: the device over-approx keeps it, the refiner must drop it
+    h, w = zone_mask.shape
+    outside = np.array([[96.0 / h, 48.0 / w, 100.0 / h, 52.0 / w]],
+                       np.float32)
+    inside = np.array([[150.0 / h, 100.0 / w, 170.0 / h, 120.0 / w]],
+                      np.float32)
+    boxes = np.concatenate([outside, inside])[None]      # [1, 2, 4]
+    scores = np.array([[0.9, 0.9]], np.float32)
+    classes = np.array([[1, 1]], np.int32)
+    valid = np.array([2], np.int32)
+    zones_hit = np.ones((1, 2, 10), bool)
+    _refine_zones({'cam': ZoneRefiner(zone_mask, cfg)}, ['cam'],
+                  boxes, scores, classes, valid, zones_hit)
+    assert scores[0, 0] == 0.0 and classes[0, 0] == 0
+    assert scores[0, 1] == 0.9 and classes[0, 1] == 1
+    assert valid[0] == 1
+    assert not zones_hit[0, 0].any()
+    assert zones_hit[0, 1, 0]          # zone 1 recorded exactly
+    assert not zones_hit[0, 1, 1:].any()

@@ -29,6 +29,45 @@ def _bucket(n: int) -> int:
     return ((n + 31) // 32) * 32
 
 
+def _stack_filter_tables(camera_tables, senders, n, b):
+    """Per-sender (conf, area, zone_sat, zone_allow) -> batched device
+    tables; padding rows reuse any camera's tables."""
+    rows = [camera_tables[s] for s in senders]
+    rows += [rows[0]] * (b - n)
+    return tuple(np.stack([r[i] for r in rows]) for i in range(4))
+
+
+def _apply_device_filters(out, filter_tables):
+    from watsor_tpu.ops.filter_device import apply_filters_device
+    scores_f, classes_f, zones_hit, valid_f = apply_filters_device(
+        out.boxes, out.scores, out.classes, *filter_tables)
+    return out._replace(scores=scores_f, classes=classes_f,
+                        valid=valid_f), zones_hit
+
+
+def _refine_zones(zone_refiners, senders, boxes, scores, classes, valid,
+                  zones_hit):
+    """Exact full-res host zone pass over the device-filtered survivors
+    (ops/filter_device.ZoneRefiner); the device test over-approximates so
+    this only ever REMOVES boundary-band false keeps. Mutates the sliced
+    result arrays in place."""
+    for i, sender in enumerate(senders[:len(boxes)]):
+        refiner = zone_refiners.get(sender)
+        if refiner is None:
+            continue                       # no mask: zones disabled
+        rows = np.nonzero(scores[i] > 0.0)[0]
+        if not len(rows):
+            continue
+        keep, hit = refiner(boxes[i, rows], classes[i, rows])
+        zones_hit[i, rows] = hit[:, :zones_hit.shape[2]]
+        drop = rows[~keep]
+        if len(drop):
+            scores[i, drop] = 0.0
+            classes[i, drop] = 0
+            zones_hit[i, drop] = False
+            valid[i] -= len(drop)
+
+
 class DetectorBackend:
     """Protocol: batched uint8 frames in, padded detection arrays out."""
 
@@ -61,7 +100,8 @@ class FleetBackend(DetectorBackend):
     larger detector.
     """
 
-    def __init__(self, fleet, max_batch=64):
+    def __init__(self, fleet, max_batch=64, camera_tables=None,
+                 zone_refiners=None):
         self._fleet = fleet
         self._max_batch = max_batch
         self._lock = threading.Lock()
@@ -71,6 +111,8 @@ class FleetBackend(DetectorBackend):
             dict(zip(mesh.axis_names, mesh.devices.shape)))
         size = fleet.config.input_size
         self.input_hw = (size, size)
+        self._camera_tables = camera_tables or None
+        self._zone_refiners = zone_refiners or {}
 
     def warmup(self, hw=None, batch=None):
         h, w = hw if hw is not None else self.input_hw
@@ -89,22 +131,40 @@ class FleetBackend(DetectorBackend):
         if n < target:
             pad = np.zeros((target - n,) + images_u8.shape[1:], np.uint8)
             images_u8 = np.concatenate([images_u8, pad], axis=0)
+        filter_tables = None
+        if self._camera_tables is not None and senders is not None:
+            filter_tables = _stack_filter_tables(self._camera_tables,
+                                                 senders, n, target)
         with self._lock:
             start = perf_counter()
             out = self._fleet.detect(images_u8)
-        return (out, n, start)
+            zones_hit = None
+            if filter_tables is not None:
+                out, zones_hit = _apply_device_filters(out, filter_tables)
+        return (out, zones_hit, n, start, senders)
 
     def resolve(self, handle):
         import jax
 
-        out, n, start = handle
+        out, zones_hit, n, start, senders = handle
         out = jax.block_until_ready(out)
         device_ms = (perf_counter() - start) * 1000.0
-        return (np.asarray(out.boxes, np.float32)[:n],
-                np.asarray(out.scores, np.float32)[:n],
-                np.asarray(out.classes, np.int32)[:n],
-                np.asarray(out.valid, np.int32)[:n],
-                device_ms)
+        boxes = np.asarray(out.boxes, np.float32)[:n]
+        scores = np.asarray(out.scores, np.float32)[:n]
+        classes = np.asarray(out.classes, np.int32)[:n]
+        valid = np.asarray(out.valid, np.int32)[:n]
+        if zones_hit is not None:
+            zones_hit = np.asarray(zones_hit)[:n]
+            if senders is not None and self._zone_refiners:
+                # np.asarray over device buffers is read-only zero-copy;
+                # the refiner mutates, so materialize writable copies
+                scores, classes, valid, zones_hit = (
+                    scores.copy(), classes.copy(), valid.copy(),
+                    zones_hit.copy())
+                _refine_zones(self._zone_refiners, senders, boxes, scores,
+                              classes, valid, zones_hit)
+            return boxes, scores, classes, valid, device_ms, zones_hit
+        return boxes, scores, classes, valid, device_ms
 
     def detect_batch(self, images_u8, senders=None):
         return self.resolve(self.dispatch(images_u8, senders=senders))
@@ -120,7 +180,7 @@ class JaxDetectorBackend(DetectorBackend):
     """
 
     def __init__(self, detector, device=None, max_batch=64,
-                 camera_tables=None):
+                 camera_tables=None, zone_refiners=None):
         import jax
 
         self._detector = detector
@@ -137,6 +197,7 @@ class JaxDetectorBackend(DetectorBackend):
         # confidence/area/zone cascade runs ON DEVICE right after NMS and
         # the result carries zone hits
         self._camera_tables = camera_tables or None
+        self._zone_refiners = zone_refiners or {}
 
     def warmup(self, hw: Optional[Tuple[int, int]] = None, batch: int = 1):
         """Compile the step for one (batch, resolution) combination ahead of
@@ -165,10 +226,8 @@ class JaxDetectorBackend(DetectorBackend):
 
         filter_tables = None
         if self._camera_tables is not None and senders is not None:
-            rows = [self._camera_tables[s] for s in senders]
-            rows += [rows[0]] * (b - n)   # pad rows reuse any tables
-            filter_tables = tuple(
-                np.stack([r[i] for r in rows]) for i in range(4))
+            filter_tables = _stack_filter_tables(self._camera_tables,
+                                                 senders, n, b)
 
         with self._lock:
             start = perf_counter()
@@ -176,20 +235,15 @@ class JaxDetectorBackend(DetectorBackend):
             out = self._detector.detect_batch(self._params, x)
             zones_hit = None
             if filter_tables is not None:
-                from watsor_tpu.ops.filter_device import apply_filters_device
-                scores_f, classes_f, zones_hit, valid_f = \
-                    apply_filters_device(out.boxes, out.scores, out.classes,
-                                         *filter_tables)
-                out = out._replace(scores=scores_f, classes=classes_f,
-                                   valid=valid_f)
-        return (out, zones_hit, n, start)
+                out, zones_hit = _apply_device_filters(out, filter_tables)
+        return (out, zones_hit, n, start, senders)
 
     def resolve(self, handle):
         """Block until a dispatched step completes; returns the standard
         detect_batch tuple."""
         import jax
 
-        out, zones_hit, n, start = handle
+        out, zones_hit, n, start, senders = handle
         out = jax.block_until_ready(out)
         device_ms = (perf_counter() - start) * 1000.0
         # slice on the HOST: a device-side [:n] would dispatch extra slice
@@ -200,8 +254,16 @@ class JaxDetectorBackend(DetectorBackend):
         classes = np.asarray(out.classes, np.int32)[:n]
         valid = np.asarray(out.valid, np.int32)[:n]
         if zones_hit is not None:
-            return boxes, scores, classes, valid, device_ms, \
-                np.asarray(zones_hit)[:n]
+            zones_hit = np.asarray(zones_hit)[:n]
+            if senders is not None and self._zone_refiners:
+                # np.asarray over device buffers is read-only zero-copy;
+                # the refiner mutates, so materialize writable copies
+                scores, classes, valid, zones_hit = (
+                    scores.copy(), classes.copy(), valid.copy(),
+                    zones_hit.copy())
+                _refine_zones(self._zone_refiners, senders, boxes, scores,
+                              classes, valid, zones_hit)
+            return boxes, scores, classes, valid, device_ms, zones_hit
         return boxes, scores, classes, valid, device_ms
 
     def detect_batch(self, images_u8: np.ndarray, senders=None):

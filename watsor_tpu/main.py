@@ -95,6 +95,7 @@ class Application:
         self._http_config = {}
         self._jpeg_caches = {}
         self._camera_tables = {}
+        self._zone_refiners = {}
         # injectable for tests: device -> DetectorBackend (the reference's
         # analog is swapping in the analytic shape detector, SURVEY.md §4)
         self._backend_factory = backend_factory
@@ -237,10 +238,15 @@ class Application:
                                                 rate_limiter)
         if self._device_filters:
             from watsor_tpu.ops.filter_device import threshold_tables, \
-                zone_tables
+                zone_tables, ZoneRefiner
             conf, area = threshold_tables(camera_config['detect'])
             zs, za = zone_tables(zone_mask, camera_config['detect'])
             self._camera_tables[camera_name] = (conf, area, zs, za)
+            # exact full-res zone pass over the device survivors (the
+            # device grid over-approximates; this restores bit parity
+            # with the host cascade)
+            self._zone_refiners[camera_name] = None if zone_mask is None \
+                else ZoneRefiner(zone_mask, camera_config['detect'])
         sieve_queue = Queue(1)
         sieve = DetectionSieve(camera_name + '-sieve', sieve_queue, buffer_in,
                                track, rate_limiter)
@@ -384,16 +390,22 @@ class Application:
             mesh = make_mesh()
             fleet = FleetDetector(mesh, detector.config, detector=detector)
             any_queue = next(iter(queues.values()))
+            tables = self._camera_tables if self._device_filters else None
+            refiners = self._zone_refiners if self._device_filters else None
             self._detectors = [ObjectDetector(
-                'detector-fleet', any_queue, buffers, FleetBackend(fleet),
+                'detector-fleet', any_queue, buffers,
+                FleetBackend(fleet, camera_tables=tables,
+                             zone_refiners=refiners),
                 max_batch=64)]
             return
         if backend_factory is None:
             from watsor_tpu.detection import JaxDetectorBackend
             tables = self._camera_tables if self._device_filters else None
+            refiners = self._zone_refiners if self._device_filters else None
             backend_factory = \
                 lambda device: JaxDetectorBackend(detector, device,
-                                                  camera_tables=tables)
+                                                  camera_tables=tables,
+                                                  zone_refiners=refiners)
         self._detectors = create_object_detectors(queues, buffers,
                                                   backend_factory)
 

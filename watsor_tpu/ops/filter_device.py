@@ -63,8 +63,13 @@ def zone_tables(zone_mask, detect_config, max_zones=MAX_ZONES,
         return sats, allow
     for z in range(1, zone_mask.num_zones + 1):
         mask = (zone_mask.index_map == z).astype(np.float32)
+        # OVER-approximate: a cell is marked when ANY zone pixel falls in
+        # it (INTER_AREA average > 0), and the device query expands box
+        # corners outward (floor/ceil) — so the device test never drops a
+        # detection the full-resolution test would keep; false keeps in
+        # the <=1-cell boundary band are removed exactly by ZoneRefiner
         small = cv2.resize(mask, (grid, grid),
-                           interpolation=cv2.INTER_AREA) > 0.25
+                           interpolation=cv2.INTER_AREA) > 0.0
         sats[z - 1, 1:, 1:] = np.cumsum(np.cumsum(small, axis=0), axis=1)
     # per-label allow lists (empty zones list = all zones allowed)
     for entry in detect_config:
@@ -79,6 +84,55 @@ def zone_tables(zone_mask, detect_config, max_zones=MAX_ZONES,
         else:
             allow[:zone_mask.num_zones, label] = True
     return sats, allow
+
+
+class ZoneRefiner:
+    """Exact full-resolution zone pass over device-filtered survivors.
+
+    The device zone test over-approximates (see ``zone_tables``), so it
+    never drops a true detection; the handful of keeps in the <=1-cell
+    boundary band are re-tested here with the full-res integral image —
+    four lookups per (detection, zone) — making the fused path bit-exact
+    with the host cascade (/root/reference/watsor/filter/mask.py:44-59
+    semantics). Cost: ~N_kept x Z numpy lookups per frame.
+    """
+
+    def __init__(self, zone_mask, detect_config, max_zones=MAX_ZONES):
+        self._zone_mask = zone_mask
+        znum = zone_mask.num_zones
+        self.max_zones = max_zones
+        # [L, Z] allow matrix (empty zones list = every zone allowed),
+        # mirroring filters/mask.MaskFilter._allowed
+        allow = np.zeros((NUM_LABELS, znum), bool)
+        for entry in detect_config:
+            name = next(iter(entry))
+            options = entry[name] or {}
+            label = coco_label_index(name)
+            zones = options.get('zones') or []
+            if zones:
+                for z in zones:
+                    if 1 <= z <= znum:
+                        allow[label, z - 1] = True
+            else:
+                allow[label, :] = True
+        self._allow = allow
+
+    def __call__(self, boxes_norm, labels):
+        """boxes_norm [n,4] normalized ymin/xmin/ymax/xmax; labels [n]
+        int -> (keep [n] bool, zones_hit [n, max_zones] bool), exact."""
+        n = len(boxes_norm)
+        hit_out = np.zeros((n, self.max_zones), bool)
+        if n == 0:
+            return np.zeros(0, bool), hit_out
+        h, w = self._zone_mask.shape
+        px = np.asarray(boxes_norm, np.float32) * \
+            np.array([h, w, h, w], np.float32)
+        overlap = self._zone_mask.bbox_zone_overlap(px)      # [n, znum]
+        hit = overlap > 0
+        labels = np.clip(np.asarray(labels, np.int64), 0, NUM_LABELS - 1)
+        keep = (hit & self._allow[labels]).any(axis=1)
+        hit_out[:, :hit.shape[1]] = hit
+        return keep, hit_out
 
 
 @partial(jax.jit, static_argnames=())
