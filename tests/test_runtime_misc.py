@@ -84,3 +84,25 @@ def test_watchdog_respects_shutdown():
     dog.stop()
     dog.join(2)
     assert child.starts == starts_before
+
+
+def test_loop_decoder_cycles_prerendered_frames():
+    """synthetic://loop pre-renders once then serves frames by copy,
+    filling the detect plane (the cheap 32-camera load generator used by
+    the BASELINE #5 experiment, scripts/run_baseline5.py)."""
+    from queue import Queue
+    import numpy as np
+    from watsor_tpu.io.synthetic import LoopDecoder
+    from watsor_tpu.runtime.frames import FrameBuffer
+
+    buffer = FrameBuffer(4, 64, 48, detect_hw=(32, 32))
+    dec = LoopDecoder('loop', Queue(4), buffer, fps=1000, seed=3)
+    frame = buffer.frames[0]
+    seen = set()
+    for _ in range(LoopDecoder.SEQUENCE + 4):
+        assert dec._new_frame(frame)
+        assert frame.detect_plane.min() < 250   # shape drawn, plane filled
+        seen.add(frame.image.tobytes())
+    # it cycles: distinct content, bounded by the sequence length
+    assert 2 <= len(seen) <= LoopDecoder.SEQUENCE
+    dec.stop_event.set()

@@ -1,12 +1,18 @@
-"""Synthetic camera source: ``synthetic://shapes`` inputs.
+"""Synthetic camera sources: ``synthetic://shapes`` and
+``synthetic://loop`` inputs.
 
 Serves two purposes, mirroring the reference's Artist fixture strategy
 (SURVEY.md §4): demo/verification without any camera or video file, and
-load generation for benchmarks. Draws random moving shapes, stamps frames
-and fills the detect-resolution plane exactly as the native decoder would.
+load generation for benchmarks. ``shapes`` draws random moving shapes per
+frame and fills the detect-resolution plane exactly as the native decoder
+would; ``loop`` pre-renders a short sequence once and cycles it with
+plain copies — the cheap high-stream-count load generator (a stand-in
+for camera input on hosts without decode cores, e.g. the 32-camera
+north-star experiment of BASELINE.json config #5).
 """
 
 import cv2
+import numpy as np
 
 from watsor_tpu.runtime.meters import FramesPerSecond, RateLimiter
 from watsor_tpu.testing.shapes import Artist
@@ -32,5 +38,72 @@ class SyntheticDecoder(Artist):
             dh, dw = frame.detect_plane.shape[:2]
             cv2.resize(frame.image, (dw, dh), dst=frame.detect_plane,
                        interpolation=cv2.INTER_LINEAR)
+        self.fps(True)
+        return True
+
+
+class LoopDecoder(SyntheticDecoder):
+    """``synthetic://loop``: pre-rendered drifting-shape frames cycled by
+    copy — per-frame host cost is two memcpys (image + detect plane), so
+    many 1080p streams can be generated on few host cores."""
+
+    SEQUENCE = 24
+
+    def __init__(self, name, frame_queue, frame_buffer, stop_event=None,
+                 fps=30, seed=None, rate_limiter=None):
+        super().__init__(name, frame_queue, frame_buffer, stop_event,
+                         fps=fps, seed=seed, rate_limiter=rate_limiter)
+        self._frames = None
+        self._cursor = 0
+
+    def _prerender(self, shape, detect_shape):
+        import random
+        frames = []
+        image = np.empty(shape, np.uint8)
+        rnd = self._random
+
+        class _Slot:    # minimal stand-in for Artist._new_frame's frame
+            detect_plane = None
+
+            def __init__(self, img):
+                self.image = img
+
+            def clear(self):
+                pass
+
+            def stamp(self):
+                pass
+
+        period, self._period = self._period, 0.0  # no pacing while drawing
+        for _ in range(self.SEQUENCE):
+            slot = _Slot(image)
+            Artist._new_frame(self, slot)
+            detect = None
+            if detect_shape is not None:
+                dh, dw = detect_shape[:2]
+                detect = cv2.resize(image, (dw, dh),
+                                    interpolation=cv2.INTER_LINEAR)
+            frames.append((image.copy(), detect))
+        self._period = period
+        self._random = rnd
+        return frames
+
+    def _new_frame(self, frame):
+        if self._frames is None:
+            detect_shape = None if frame.detect_plane is None \
+                else frame.detect_plane.shape
+            self._frames = self._prerender(frame.image.shape, detect_shape)
+        self.stop_event.wait(self._period)
+        if self.stop_event.is_set():
+            return False
+        if not self.rate_limiter.allow():
+            return False
+        image, detect = self._frames[self._cursor]
+        self._cursor = (self._cursor + 1) % len(self._frames)
+        np.copyto(frame.image, image)
+        if detect is not None and frame.detect_plane is not None:
+            np.copyto(frame.detect_plane, detect)
+        frame.clear()
+        frame.stamp()
         self.fps(True)
         return True

@@ -172,9 +172,11 @@ class Application:
                         buffer_in, rate_limiter):
         url = camera_config['input']
         if url.startswith('synthetic://'):
-            from watsor_tpu.io.synthetic import SyntheticDecoder
-            return SyntheticDecoder(camera_name, frame_queue, buffer_in,
-                                    rate_limiter=rate_limiter)
+            from watsor_tpu.io.synthetic import LoopDecoder, SyntheticDecoder
+            cls = LoopDecoder if url == 'synthetic://loop' \
+                else SyntheticDecoder
+            return cls(camera_name, frame_queue, buffer_in,
+                       rate_limiter=rate_limiter)
         from watsor_tpu.io.video import VideoDecoder, decoder_args_from_argv
         args = decoder_args_from_argv(camera_config['ffmpeg']['decoder'])
         if args.unknown:
