@@ -170,13 +170,62 @@ def build_pack(detector: Detector, absmax):
     return pack
 
 
+import os as _os
+
+
+def _pointwise_mode():
+    """Formulation of the int8 1x1 (pointwise) units — the bulk of the
+    MXU work. 'pallas' = fused matmul+requant kernel (ops/int8_matmul.py,
+    int8 in/out at the MXU int8 rate); 'dot' = XLA dot_general; 'conv' =
+    the int8 conv_general_dilated lowering (round-2 formulation).
+    Default: pallas on TPU, dot elsewhere (Pallas TPU kernels don't run
+    on the CPU backend)."""
+    mode = _os.environ.get('WATSOR_INT8_POINTWISE')
+    if mode:
+        return mode
+    return 'pallas' if jax.default_backend() == 'tpu' else 'dot'
+
+
+def _is_pointwise(unit: QUnit, strides, groups):
+    kh, kw = unit.kernel.shape[:2]
+    return kh == 1 and kw == 1 and strides == 1 and groups == 1
+
+
+def _pointwise(x_i8, x_scale, unit: QUnit, relu6, out_scale):
+    """1x1 conv as an [B*H*W, K] x [K, N] int8 matmul; out_scale=None
+    returns float."""
+    B, H, W, C = x_i8.shape
+    w2 = unit.kernel.reshape(C, -1)
+    scale = x_scale * unit.wscale
+    flat = x_i8.reshape(-1, C)
+    if _pointwise_mode() == 'pallas':
+        from watsor_tpu.ops.int8_matmul import int8_matmul_requant
+        y = int8_matmul_requant(flat, w2, scale, unit.bias,
+                                out_scale=out_scale, relu6=relu6)
+    else:
+        y = jax.lax.dot_general(flat, w2, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * scale + unit.bias
+        if relu6:
+            y = jnp.clip(y, 0.0, 6.0)
+        if out_scale is not None:
+            y = jnp.clip(jnp.round(y / out_scale), -127.0, 127.0) \
+                .astype(jnp.int8)
+    return y.reshape(B, H, W, -1)
+
+
 def _qconv(x_i8, x_scale, unit: QUnit, strides=1, groups=1, relu6=True,
            out_scale=None):
     """int8 conv + fused dequant/bias/act/requant epilogue.
 
     Returns (y_i8, y_scale). ``out_scale`` overrides the unit's own output
     quantum (used when the consumer is a residual add at the block scale).
+    Pointwise units take the matmul formulation (see ``_pointwise_mode``);
+    depthwise/strided/3x3 units stay on the conv lowering.
     """
+    scale = out_scale if out_scale is not None else unit.out_scale
+    if _is_pointwise(unit, strides, groups) and _pointwise_mode() != 'conv':
+        return _pointwise(x_i8, x_scale, unit, relu6, scale), scale
     y = jax.lax.conv_general_dilated(
         x_i8, unit.kernel,
         window_strides=(strides, strides), padding='SAME',
@@ -186,13 +235,14 @@ def _qconv(x_i8, x_scale, unit: QUnit, strides=1, groups=1, relu6=True,
     y = y.astype(jnp.float32) * (x_scale * unit.wscale) + unit.bias
     if relu6:
         y = jnp.clip(y, 0.0, 6.0)
-    scale = out_scale if out_scale is not None else unit.out_scale
     y_i8 = jnp.clip(jnp.round(y / scale), -127.0, 127.0).astype(jnp.int8)
     return y_i8, scale
 
 
 def _qconv_f(x_i8, x_scale, unit: QUnit, strides=1, groups=1, relu6=True):
     """Same conv, float output (for residual adds / head features)."""
+    if _is_pointwise(unit, strides, groups) and _pointwise_mode() != 'conv':
+        return _pointwise(x_i8, x_scale, unit, relu6, None)
     y = jax.lax.conv_general_dilated(
         x_i8, unit.kernel,
         window_strides=(strides, strides), padding='SAME',
