@@ -118,10 +118,30 @@ def main():
     thread = threading.Thread(target=app.run, daemon=True)
     thread.start()
 
+    # throttle every camera to ~1 fps while XLA compiles: on a one-core
+    # host 32 unthrottled 1080p sources starve the compile thread
+    throttled = False
+    for _ in range(120):
+        if app._cameras:
+            for camera in app._cameras:
+                limiter = getattr(camera.decoder, 'rate_limiter', None)
+                if limiter is not None:
+                    limiter.limit_rate(1)
+            throttled = True
+            break
+        time.sleep(1)
+    print('cameras throttled for warmup: {}'.format(throttled),
+          file=sys.stderr, flush=True)
+
     print('waiting for the first real inference (compile over the '
           'tunnel)...', file=sys.stderr, flush=True)
     deadline = time.time() + WARM_DEADLINE
     while time.time() < deadline:
+        # re-apply: the sieve lifts the cap on suspicious activity
+        for camera in app._cameras:
+            limiter = getattr(camera.decoder, 'rate_limiter', None)
+            if limiter is not None:
+                limiter.limit_rate(1)
         try:
             m = get_metrics()
             if m['detectors'] and m['detectors'][0]['fps'] > 0:
@@ -134,6 +154,10 @@ def main():
         app._stop_main.set()
         return 1
 
+    for camera in app._cameras:    # full speed for the measurement
+        limiter = getattr(camera.decoder, 'rate_limiter', None)
+        if limiter is not None:
+            limiter.unlimited()
     print('warm; sampling for {}s'.format(DURATION), file=sys.stderr,
           flush=True)
     samples = []

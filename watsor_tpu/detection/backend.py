@@ -29,12 +29,29 @@ def _bucket(n: int) -> int:
     return ((n + 31) // 32) * 32
 
 
-def _stack_filter_tables(camera_tables, senders, n, b):
+def _stack_filter_tables(camera_tables, senders, n, b, cache=None,
+                         device=None):
     """Per-sender (conf, area, zone_sat, zone_allow) -> batched device
-    tables; padding rows reuse any camera's tables."""
+    tables; padding rows reuse any camera's tables.
+
+    The tables are constant per camera, and the zone SATs are the bulk
+    (32 cameras x 10 zones x 97x97 f32 ≈ 12 MB) — re-shipping them every
+    batch would dominate H2D, so the stacked batch is cached ON DEVICE
+    keyed by the sender layout (bounded: one entry per distinct camera
+    ordering; layouts repeat once the pipeline reaches steady state)."""
+    key = (tuple(senders), b)
+    if cache is not None and key in cache:
+        return cache[key]
     rows = [camera_tables[s] for s in senders]
     rows += [rows[0]] * (b - n)
-    return tuple(np.stack([r[i] for r in rows]) for i in range(4))
+    stacked = tuple(np.stack([r[i] for r in rows]) for i in range(4))
+    if cache is not None:
+        import jax
+        stacked = tuple(jax.device_put(t, device) for t in stacked)
+        if len(cache) > 256:
+            cache.clear()
+        cache[key] = stacked
+    return stacked
 
 
 def _apply_device_filters(out, filter_tables):
@@ -112,6 +129,7 @@ class FleetBackend(DetectorBackend):
         size = fleet.config.input_size
         self.input_hw = (size, size)
         self._camera_tables = camera_tables or None
+        self._table_cache = {}
         self._zone_refiners = zone_refiners or {}
 
     def warmup(self, hw=None, batch=None):
@@ -134,7 +152,8 @@ class FleetBackend(DetectorBackend):
         filter_tables = None
         if self._camera_tables is not None and senders is not None:
             filter_tables = _stack_filter_tables(self._camera_tables,
-                                                 senders, n, target)
+                                                 senders, n, target,
+                                                 cache=self._table_cache)
         with self._lock:
             start = perf_counter()
             out = self._fleet.detect(images_u8)
@@ -197,6 +216,7 @@ class JaxDetectorBackend(DetectorBackend):
         # confidence/area/zone cascade runs ON DEVICE right after NMS and
         # the result carries zone hits
         self._camera_tables = camera_tables or None
+        self._table_cache = {}
         self._zone_refiners = zone_refiners or {}
 
     def warmup(self, hw: Optional[Tuple[int, int]] = None, batch: int = 1):
@@ -227,7 +247,9 @@ class JaxDetectorBackend(DetectorBackend):
         filter_tables = None
         if self._camera_tables is not None and senders is not None:
             filter_tables = _stack_filter_tables(self._camera_tables,
-                                                 senders, n, b)
+                                                 senders, n, b,
+                                                 cache=self._table_cache,
+                                                 device=self._device)
 
         with self._lock:
             start = perf_counter()

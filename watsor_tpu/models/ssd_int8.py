@@ -175,15 +175,18 @@ import os as _os
 
 def _pointwise_mode():
     """Formulation of the int8 1x1 (pointwise) units — the bulk of the
-    MXU work. 'pallas' = fused matmul+requant kernel (ops/int8_matmul.py,
-    int8 in/out at the MXU int8 rate); 'dot' = XLA dot_general; 'conv' =
-    the int8 conv_general_dilated lowering (round-2 formulation).
-    Default: pallas on TPU, dot elsewhere (Pallas TPU kernels don't run
-    on the CPU backend)."""
-    mode = _os.environ.get('WATSOR_INT8_POINTWISE')
-    if mode:
-        return mode
-    return 'pallas' if jax.default_backend() == 'tpu' else 'dot'
+    MXU work. 'conv' = int8 conv_general_dilated; 'dot' = XLA
+    dot_general on the flattened [B*H*W, C] view; 'pallas' = fused
+    matmul+requant kernel (ops/int8_matmul.py, int8 in/out).
+
+    Measured on v5e at batch 32 (BENCHMARKS.md round 3,
+    scripts/bench_int8_full.py): conv 5.61 ms, dot 13.62 ms, pallas
+    14.12 ms vs bf16 5.29 ms — the matmul formulations lose 2.5x to
+    NHWC<->2D relayouts XLA inserts around them, and conv (inter-layer
+    tensors already int8 in HBM) still doesn't beat bf16: the forward is
+    not activation-bandwidth-bound. 'conv' is therefore the default
+    everywhere; the others remain for future hardware/toolchains."""
+    return _os.environ.get('WATSOR_INT8_POINTWISE', 'conv')
 
 
 def _is_pointwise(unit: QUnit, strides, groups):
