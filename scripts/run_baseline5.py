@@ -118,30 +118,27 @@ def main():
     thread = threading.Thread(target=app.run, daemon=True)
     thread.start()
 
+    def pace(fps):
+        # pace via the synthetic decoder's own frame period: the MQTT
+        # rate limiter would be lifted by the sieve's suspicious-activity
+        # hook on every (random-weight) detection
+        for camera in app._cameras:
+            if hasattr(camera.decoder, '_period'):
+                camera.decoder._period = (1.0 / fps) if fps > 0 else 0.0
+
     # throttle every camera to ~1 fps while XLA compiles: on a one-core
     # host 32 unthrottled 1080p sources starve the compile thread
-    throttled = False
-    for _ in range(120):
+    for _ in range(600):
         if app._cameras:
-            for camera in app._cameras:
-                limiter = getattr(camera.decoder, 'rate_limiter', None)
-                if limiter is not None:
-                    limiter.limit_rate(1)
-            throttled = True
+            pace(1)
             break
         time.sleep(1)
-    print('cameras throttled for warmup: {}'.format(throttled),
-          file=sys.stderr, flush=True)
+    print('cameras paced for warmup', file=sys.stderr, flush=True)
 
     print('waiting for the first real inference (compile over the '
           'tunnel)...', file=sys.stderr, flush=True)
     deadline = time.time() + WARM_DEADLINE
     while time.time() < deadline:
-        # re-apply: the sieve lifts the cap on suspicious activity
-        for camera in app._cameras:
-            limiter = getattr(camera.decoder, 'rate_limiter', None)
-            if limiter is not None:
-                limiter.limit_rate(1)
         try:
             m = get_metrics()
             if m['detectors'] and m['detectors'][0]['fps'] > 0:
@@ -154,12 +151,15 @@ def main():
         app._stop_main.set()
         return 1
 
-    for camera in app._cameras:    # full speed for the measurement
-        limiter = getattr(camera.decoder, 'rate_limiter', None)
-        if limiter is not None:
-            limiter.unlimited()
-    print('warm; sampling for {}s'.format(DURATION), file=sys.stderr,
-          flush=True)
+    # measurement rate: BASELINE5_CAP fps/camera, or full speed. On a
+    # one-core host full-speed decode (32 x 1080p memcpy ~3.3 GB/s)
+    # starves the detector dispatch thread and the sieve — the cap finds
+    # the host's balanced operating point; a real deployment has decode
+    # hardware/cores and no cap.
+    cap = float(os.environ.get('BASELINE5_CAP', 0) or 0)
+    pace(cap if cap > 0 else 30)
+    print('warm; sampling for {}s (cap={} fps/cam)'.format(DURATION, cap),
+          file=sys.stderr, flush=True)
     samples = []
     t_end = time.time() + DURATION
     while time.time() < t_end:
@@ -204,6 +204,7 @@ def main():
         'latency_ms_p50': mean('detectors', 'latency_ms_p50'),
         'latency_ms_p95': mean('detectors', 'latency_ms_p95'),
         'buffer_in_mean_pct': mean('buffer_in_mean_pct'),
+        'cap_fps_per_camera': cap or None,
         'samples': samples,
         'environment': {
             'host_cores': os.cpu_count(),
