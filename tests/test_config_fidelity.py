@@ -341,3 +341,68 @@ def test_muxer_override_by_format_flag(tmp_path):
     with open(path, 'rb') as f:
         first = f.read(1)
     assert first == b'\x47', first  # MPEG-TS sync byte
+
+
+# --- round-3 review regressions ----------------------------------------------
+
+def test_filtergraph_quoted_comma_does_not_split():
+    args = encoder_args_from_argv([
+        'ffmpeg', '-f', 'rawvideo', '-i', '-', '-vf',
+        "drawtext=text='Back in 5, stay out': fontcolor=white"])
+    assert args.unknown == []
+    assert 'Back in 5, stay out' in args.drawtext
+
+
+def test_drawtext_literal_percent_is_safe():
+    from watsor_tpu.io.video import DrawTextOverlay
+    overlay = DrawTextOverlay(
+        "text='CPU 50% %{localtime\\:%H\\:%M} 100%': box=1")
+    image = np.zeros((120, 320, 3), np.uint8)
+    overlay.apply(image)          # must not raise
+    assert image.any()
+
+
+def test_input_r_without_vsync_drop_never_drops():
+    """A bare input-side -r declares the rawvideo rate; ffmpeg only drops
+    with -vsync drop."""
+    args = encoder_args_from_argv([
+        'ffmpeg', '-f', 'rawvideo', '-pix_fmt', 'rgb24', '-r', '30',
+        '-i', '-', '-vcodec', 'libx264', 'out.mp4'])
+    assert args.input_fps is None
+    args = encoder_args_from_argv([
+        'ffmpeg', '-f', 'rawvideo', '-r', '10', '-vsync', 'drop',
+        '-i', '-', 'out.mp4'])
+    assert args.input_fps == 10
+
+
+def test_fetch_refuses_symlink_members(tmp_path):
+    import tarfile
+    from watsor_tpu.models.fetch import FetchError, _safe_extract
+    evil = tmp_path / 'evil.tar'
+    with tarfile.open(evil, 'w') as tar:
+        info = tarfile.TarInfo('link')
+        info.type = tarfile.SYMTYPE
+        info.linkname = '/usr/share'
+        tar.addfile(info)
+    with pytest.raises(FetchError, match='escapes destination'):
+        _safe_extract(str(evil), str(tmp_path / 'out'))
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason='native video runtime unavailable')
+def test_filter_fps_survives_missing_timestamps(tmp_path):
+    """Raw elementary streams have no usable pts; the fps filter must
+    pass frames through instead of dropping everything after the first
+    (which would wedge the live read loop)."""
+    path = str(tmp_path / 'raw.h264')
+    enc = native.Encoder(path, 176, 144, fps=20.0, fmt='h264')
+    for i in range(20):
+        enc.write(np.full((144, 176, 3), i * 10, np.uint8))
+    enc.close()
+    dec = native.Decoder(path, 176, 144, filter_fps=5.0)
+    buf = np.empty((144, 176, 3), np.uint8)
+    n = 0
+    while dec.read_into(buf) is not None:
+        n += 1
+    dec.close()
+    assert n >= 15, n   # no timestamps -> no dropping, stream not wedged

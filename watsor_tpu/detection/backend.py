@@ -29,35 +29,41 @@ def _bucket(n: int) -> int:
     return ((n + 31) // 32) * 32
 
 
-def _stack_filter_tables(camera_tables, senders, n, b, cache=None,
-                         device=None):
-    """Per-sender (conf, area, zone_sat, zone_allow) -> batched device
-    tables; padding rows reuse any camera's tables.
+class _FilterTableStore:
+    """Per-camera filter tables resident on device, selected per batch by
+    a tiny index gather.
 
     The tables are constant per camera, and the zone SATs are the bulk
     (32 cameras x 10 zones x 97x97 f32 ≈ 12 MB) — re-shipping them every
-    batch would dominate H2D, so the stacked batch is cached ON DEVICE
-    keyed by the sender layout (bounded: one entry per distinct camera
-    ordering; layouts repeat once the pipeline reaches steady state)."""
-    key = (tuple(senders), b)
-    if cache is not None and key in cache:
-        return cache[key]
-    rows = [camera_tables[s] for s in senders]
-    rows += [rows[0]] * (b - n)
-    stacked = tuple(np.stack([r[i] for r in rows]) for i in range(4))
-    if cache is not None:
+    batch would dominate H2D, and caching stacked batches by sender
+    ordering is hopeless (batch assembly drains a shared queue, so the
+    ordering is nondeterministic). Instead every camera's tables are
+    device_put ONCE as [num_cameras, ...] arrays; a dispatch ships only
+    the [b] int32 row-index vector and the gather happens on device
+    inside the jitted filter step. O(#cameras) HBM, zero steady-state
+    table H2D."""
+
+    def __init__(self, camera_tables, device=None):
         import jax
-        stacked = tuple(jax.device_put(t, device) for t in stacked)
-        if len(cache) > 256:
-            cache.clear()
-        cache[key] = stacked
-    return stacked
+        names = sorted(camera_tables)
+        self._row = {name: i for i, name in enumerate(names)}
+        stacked = tuple(
+            np.stack([np.asarray(camera_tables[name][i]) for name in names])
+            for i in range(4))
+        self.tables = tuple(jax.device_put(t, device) for t in stacked)
+
+    def rows(self, senders, b):
+        """[b] int32 row indices (padding rows reuse row 0)."""
+        idx = np.zeros(b, np.int32)
+        for i, sender in enumerate(senders[:b]):
+            idx[i] = self._row[sender]
+        return idx
 
 
-def _apply_device_filters(out, filter_tables):
-    from watsor_tpu.ops.filter_device import apply_filters_device
-    scores_f, classes_f, zones_hit, valid_f = apply_filters_device(
-        out.boxes, out.scores, out.classes, *filter_tables)
+def _apply_device_filters(out, store, row_idx):
+    from watsor_tpu.ops.filter_device import apply_filters_device_indexed
+    scores_f, classes_f, zones_hit, valid_f = apply_filters_device_indexed(
+        out.boxes, out.scores, out.classes, *store.tables, row_idx)
     return out._replace(scores=scores_f, classes=classes_f,
                         valid=valid_f), zones_hit
 
@@ -128,8 +134,13 @@ class FleetBackend(DetectorBackend):
             dict(zip(mesh.axis_names, mesh.devices.shape)))
         size = fleet.config.input_size
         self.input_hw = (size, size)
-        self._camera_tables = camera_tables or None
-        self._table_cache = {}
+        from jax.sharding import NamedSharding, PartitionSpec
+        self._table_store = None
+        if camera_tables:
+            # tables replicated over the mesh (device_put accepts a
+            # Sharding wherever it accepts a Device)
+            self._table_store = _FilterTableStore(
+                camera_tables, NamedSharding(mesh, PartitionSpec()))
         self._zone_refiners = zone_refiners or {}
 
     def warmup(self, hw=None, batch=None):
@@ -149,17 +160,16 @@ class FleetBackend(DetectorBackend):
         if n < target:
             pad = np.zeros((target - n,) + images_u8.shape[1:], np.uint8)
             images_u8 = np.concatenate([images_u8, pad], axis=0)
-        filter_tables = None
-        if self._camera_tables is not None and senders is not None:
-            filter_tables = _stack_filter_tables(self._camera_tables,
-                                                 senders, n, target,
-                                                 cache=self._table_cache)
+        row_idx = None
+        if self._table_store is not None and senders is not None:
+            row_idx = self._table_store.rows(senders, target)
         with self._lock:
             start = perf_counter()
             out = self._fleet.detect(images_u8)
             zones_hit = None
-            if filter_tables is not None:
-                out, zones_hit = _apply_device_filters(out, filter_tables)
+            if row_idx is not None:
+                out, zones_hit = _apply_device_filters(
+                    out, self._table_store, row_idx)
         return (out, zones_hit, n, start, senders)
 
     def resolve(self, handle):
@@ -215,8 +225,10 @@ class JaxDetectorBackend(DetectorBackend):
         # zone_allow) device tables (ops/filter_device.py); when set, the
         # confidence/area/zone cascade runs ON DEVICE right after NMS and
         # the result carries zone hits
-        self._camera_tables = camera_tables or None
-        self._table_cache = {}
+        self._table_store = None
+        if camera_tables:
+            self._table_store = _FilterTableStore(camera_tables,
+                                                  self._device)
         self._zone_refiners = zone_refiners or {}
 
     def warmup(self, hw: Optional[Tuple[int, int]] = None, batch: int = 1):
@@ -244,20 +256,18 @@ class JaxDetectorBackend(DetectorBackend):
             pad = np.zeros((b - n,) + images_u8.shape[1:], np.uint8)
             images_u8 = np.concatenate([images_u8, pad], axis=0)
 
-        filter_tables = None
-        if self._camera_tables is not None and senders is not None:
-            filter_tables = _stack_filter_tables(self._camera_tables,
-                                                 senders, n, b,
-                                                 cache=self._table_cache,
-                                                 device=self._device)
+        row_idx = None
+        if self._table_store is not None and senders is not None:
+            row_idx = self._table_store.rows(senders, b)
 
         with self._lock:
             start = perf_counter()
             x = jax.device_put(images_u8, self._device)
             out = self._detector.detect_batch(self._params, x)
             zones_hit = None
-            if filter_tables is not None:
-                out, zones_hit = _apply_device_filters(out, filter_tables)
+            if row_idx is not None:
+                out, zones_hit = _apply_device_filters(
+                    out, self._table_store, row_idx)
         return (out, zones_hit, n, start, senders)
 
     def resolve(self, handle):

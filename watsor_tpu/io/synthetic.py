@@ -57,10 +57,8 @@ class LoopDecoder(SyntheticDecoder):
         self._cursor = 0
 
     def _prerender(self, shape, detect_shape):
-        import random
         frames = []
         image = np.empty(shape, np.uint8)
-        rnd = self._random
 
         class _Slot:    # minimal stand-in for Artist._new_frame's frame
             detect_plane = None
@@ -85,7 +83,6 @@ class LoopDecoder(SyntheticDecoder):
                                     interpolation=cv2.INTER_LINEAR)
             frames.append((image.copy(), detect))
         self._period = period
-        self._random = rnd
         return frames
 
     def _new_frame(self, frame):

@@ -102,18 +102,32 @@ def _parse_filtergraph(chain):
     drawtext = None
     unknown = []
     depth = 0
+    quote = None
     parts = []
     current = []
-    for ch in chain:  # commas inside quotes/parens don't split filters
-        if ch in '([{':
+    i = 0
+    while i < len(chain):  # commas inside quotes/parens don't split
+        ch = chain[i]
+        if ch == '\\' and i + 1 < len(chain):
+            current.append(ch)
+            current.append(chain[i + 1])
+            i += 2
+            continue
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in '\'"':
+            quote = ch
+        elif ch in '([{':
             depth += 1
         elif ch in ')]}':
             depth -= 1
-        if ch == ',' and depth == 0:
+        if ch == ',' and depth == 0 and quote is None:
             parts.append(''.join(current))
             current = []
         else:
             current.append(ch)
+        i += 1
     parts.append(''.join(current))
     for part in parts:
         part = part.strip()
@@ -362,6 +376,10 @@ def encoder_args_from_argv(argv):
     cfr = output_vsync in ('cfr', '1')
     if input_vsync not in (None, 'drop', 'passthrough', '0', '2'):
         unknown.append('-vsync ' + input_vsync)
+    if input_vsync not in ('drop', '2'):
+        # a bare input-side -r just declares the rawvideo pipe's rate;
+        # ffmpeg only drops when -vsync drop is given
+        input_fps = None
     return EncoderArgs(codec, bit_rate, fps, ','.join(options), unknown,
                        input_fps=input_fps, cfr=cfr, format=fmt,
                        drawtext=drawtext)
@@ -420,7 +438,9 @@ class DrawTextOverlay:
 
     @staticmethod
     def _split_text(text):
-        """'%{localtime:%c}' -> (prefix with %s slot, strftime format)."""
+        """'%{localtime:%c}' -> (prefix with %s slot, strftime format).
+        Literal '%' outside the localtime slot is escaped so the later
+        ``template % value`` expansion can't raise on user text."""
         start = text.find('%{localtime')
         if start < 0:
             return text, None
@@ -428,7 +448,9 @@ class DrawTextOverlay:
         inner = text[start + len('%{localtime'):end if end > 0 else None]
         timefmt = inner[1:] if inner.startswith(':') else '%c'
         tail = text[end + 1:] if end > 0 else ''
-        return text[:start] + '%s' + tail, timefmt or '%c'
+        head = text[:start].replace('%', '%%')
+        tail = tail.replace('%', '%%')
+        return head + '%s' + tail, timefmt or '%c'
 
     @classmethod
     def _color(cls, value):
@@ -642,7 +664,13 @@ class VideoEncoder(WorkPublish, Publish):
                         self._scratch.shape != image.shape:
                     self._scratch = np.empty_like(image)
                 np.copyto(self._scratch, image)
-                self._drawtext.apply(self._scratch)
+                try:
+                    self._drawtext.apply(self._scratch)
+                except Exception:
+                    # a bad drawtext spec must not kill the encoder task
+                    self._logger.exception(
+                        'drawtext overlay failed; disabling it')
+                    self._drawtext = None
                 image = self._scratch
             if self._file_encoder is not None:
                 self._file_encoder.write(image)

@@ -105,15 +105,23 @@ def download(url, dest, progress=True):
 
 
 def _safe_extract(archive, dest):
-    """Extract a tarball refusing path traversal."""
+    """Extract a tarball refusing path traversal AND link members (a
+    symlink extracted first could redirect later members outside dest —
+    the realpath pre-scan alone can't see that)."""
     with tarfile.open(archive) as tar:
         for member in tar.getmembers():
+            if member.issym() or member.islnk():
+                raise FetchError(
+                    'archive member escapes destination: ' + member.name)
             target = os.path.realpath(os.path.join(dest, member.name))
             if not target.startswith(os.path.realpath(dest) + os.sep):
                 raise FetchError(
                     'archive member escapes destination: ' +
                     member.name)
-        tar.extractall(dest)
+        try:
+            tar.extractall(dest, filter='data')   # py>=3.12 hardening
+        except TypeError:
+            tar.extractall(dest)
 
 
 def _locate(root, suffix):

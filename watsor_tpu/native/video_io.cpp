@@ -261,9 +261,14 @@ extern "C" int wt_decoder_read(WtDecoder* d, uint8_t* full_rgb,
             if (d->frame->best_effort_timestamp != AV_NOPTS_VALUE) {
                 pts = d->frame->best_effort_timestamp * av_q2d(stream->time_base);
             }
-            if (d->filter_fps > 0) {
-                // ffmpeg `-vf fps=N` drop semantics: keep frames spaced by
-                // 1/N in presentation time, re-anchoring after gaps
+            // ffmpeg `-vf fps=N` drop semantics: keep frames spaced by
+            // 1/N in presentation time, re-anchoring after gaps. Streams
+            // without usable timestamps (raw elementary streams, some
+            // MJPEG cameras) pass through undropped — pts re-reads as 0
+            // there, and dropping on it would discard every frame after
+            // the first, wedging the read loop forever on live sources.
+            if (d->filter_fps > 0 &&
+                d->frame->best_effort_timestamp != AV_NOPTS_VALUE) {
                 if (d->next_due_pts >= 0 && pts + 1e-6 < d->next_due_pts) {
                     av_frame_unref(d->frame);
                     continue;  // dropped before any scaling work

@@ -135,6 +135,20 @@ class ZoneRefiner:
         return keep, hit_out
 
 
+@jax.jit
+def apply_filters_device_indexed(boxes, scores, classes, conf_all,
+                                 area_all, zone_sat_all, zone_allow_all,
+                                 row_idx):
+    """Like :func:`apply_filters_device`, but the per-row tables are
+    selected ON DEVICE from per-camera stores by ``row_idx`` [B] int32 —
+    the tables stay resident in HBM and a dispatch ships only the index
+    vector (detection/backend._FilterTableStore)."""
+    return apply_filters_device(
+        boxes, scores, classes,
+        conf_all[row_idx], area_all[row_idx],
+        zone_sat_all[row_idx], zone_allow_all[row_idx])
+
+
 @partial(jax.jit, static_argnames=())
 def apply_filters_device(boxes, scores, classes, conf_table, area_table,
                          zone_sat, zone_allow):
