@@ -1,0 +1,94 @@
+"""VMEM-resident fixed-point suppression kernel vs the XLA Jacobi loop:
+must be bit-identical (same suppressor relation + tie-break)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _xla_fixed_point(s, iou, thr):
+    import jax
+    overlap = (iou > thr)[:, None, :, :]
+    M = s.shape[-1]
+    idx = np.arange(M)
+    higher = (s[:, :, :, None] > s[:, :, None, :]) | \
+        ((s[:, :, :, None] == s[:, :, None, :]) &
+         (idx[None, None, :, None] < idx[None, None, None, :]))
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        keep, _ = state
+        suppressed = jnp.any(higher & overlap & keep[:, :, :, None], axis=2)
+        new = ~suppressed
+        return new, jnp.any(new != keep)
+
+    keep0 = jnp.ones(s.shape, dtype=bool)
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.bool_(True)))
+    return np.asarray(keep)
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_kernel_matches_xla_jacobi_random(seed):
+    from watsor_tpu.ops.nms_pallas import fixed_point_suppress
+    rng = np.random.default_rng(seed)
+    B, C, M = 2, 6, 128
+    s = jnp.asarray(rng.uniform(0, 1, (B, C, M)), jnp.float32)
+    # random boxes -> realistic iou structure
+    yx = rng.uniform(0, 1, (B, M, 2))
+    hw = rng.uniform(0.05, 0.4, (B, M, 2))
+    boxes = np.concatenate([yx, yx + hw], axis=-1).astype(np.float32)
+    from watsor_tpu.ops.boxes import iou_matrix
+    iou = iou_matrix(jnp.asarray(boxes), jnp.asarray(boxes))
+    want = _xla_fixed_point(s, iou, 0.5)
+    got = np.asarray(fixed_point_suppress(s, iou, iou_threshold=0.5,
+                                          interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kernel_exact_on_suppression_chain():
+    """A chain a>b>c>d with pairwise overlaps: greedy keeps a and c —
+    the case Fast-NMS gets wrong and the fixed point must get right."""
+    from watsor_tpu.ops.boxes import iou_matrix
+    from watsor_tpu.ops.nms_pallas import fixed_point_suppress
+    M = 128
+    boxes = np.zeros((1, M, 4), np.float32)
+    # overlapping chain: each box shifted to overlap only its neighbors
+    for i in range(4):
+        boxes[0, i] = [0.0, 0.1 * i, 0.2, 0.1 * i + 0.18]
+    boxes[0, 4:] = [[0.9, 0.9, 0.91, 0.91]] * (M - 4)
+    s = np.zeros((1, 1, M), np.float32)
+    s[0, 0, :4] = [0.9, 0.8, 0.7, 0.6]
+    iou = iou_matrix(jnp.asarray(boxes), jnp.asarray(boxes))
+    keep = np.asarray(fixed_point_suppress(
+        jnp.asarray(s), iou, iou_threshold=0.25, interpret=True))[0, 0]
+    assert keep[0] and not keep[1] and keep[2] and not keep[3]
+
+
+def test_fused_exact_mode_with_kernel_flag(monkeypatch):
+    """WATSOR_NMS_PALLAS=1 routes fused_exact through the kernel and the
+    final detections equal the XLA path's."""
+    from watsor_tpu.ops.nms import batched_class_aware_nms
+    rng = np.random.default_rng(3)
+    B, A, C = 2, 400, 4
+    yx = rng.uniform(0, 1, (B, A, 2))
+    hw = rng.uniform(0.02, 0.3, (B, A, 2))
+    boxes = jnp.asarray(np.concatenate([yx, yx + hw], -1), jnp.float32)
+    scores = jnp.asarray(rng.uniform(0, 1, (B, A, C)) ** 3, jnp.float32)
+
+    want = [np.asarray(x) for x in batched_class_aware_nms(
+        boxes, scores, mode='fused_exact')]
+    monkeypatch.setenv('WATSOR_NMS_PALLAS', '1')
+    # interpret path for CPU: monkeypatch the kernel to interpret mode
+    import watsor_tpu.ops.nms_pallas as np_mod
+    orig = np_mod.fixed_point_suppress
+
+    def interp(s, iou, iou_threshold=0.6):
+        return orig(s, iou, iou_threshold=iou_threshold, interpret=True)
+    monkeypatch.setattr(np_mod, 'fixed_point_suppress', interp)
+    got = [np.asarray(x) for x in batched_class_aware_nms(
+        boxes, scores, mode='fused_exact')]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

@@ -121,21 +121,33 @@ def batched_class_aware_nms_fused(boxes, scores,
         ((s[:, :, :, None] == s[:, :, None, :]) &
          (idx[None, None, :, None] < idx[None, None, None, :]))
     if suppression == 'greedy':
-        def cond(state):
-            _, changed = state
-            return changed
+        import os
+        if os.environ.get('WATSOR_NMS_PALLAS') == '1':
+            # VMEM-resident fixed point: the whole Jacobi iteration runs
+            # inside one kernel per image instead of relaunching an XLA
+            # while_loop body (opt-in pending a measured win)
+            from watsor_tpu.ops.nms_pallas import fixed_point_suppress
+            keep = fixed_point_suppress(s, iou,
+                                        iou_threshold=iou_threshold)
+            suppressed = ~keep
+        else:
+            def cond(state):
+                _, changed = state
+                return changed
 
-        def body(state):
-            keep, _ = state
-            # i suppresses j only while i itself is kept
-            suppressed = jnp.any(higher & overlap & keep[:, :, :, None],
-                                 axis=2)                     # [B, C, M]
-            new_keep = ~suppressed
-            return new_keep, jnp.any(new_keep != keep)
+            def body(state):
+                keep, _ = state
+                # i suppresses j only while i itself is kept
+                suppressed = jnp.any(
+                    higher & overlap & keep[:, :, :, None],
+                    axis=2)                                  # [B, C, M]
+                new_keep = ~suppressed
+                return new_keep, jnp.any(new_keep != keep)
 
-        keep0 = jnp.ones(s.shape, dtype=bool)
-        keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.bool_(True)))
-        suppressed = ~keep
+            keep0 = jnp.ones(s.shape, dtype=bool)
+            keep, _ = jax.lax.while_loop(cond, body,
+                                         (keep0, jnp.bool_(True)))
+            suppressed = ~keep
     else:
         suppressed = jnp.any(higher & overlap, axis=2)       # [B, C, M]
     kept = jnp.where(~suppressed & (s > score_threshold), s, 0.0)

@@ -105,3 +105,68 @@ def pallas_suppress(top_boxes, top_scores, iou_threshold=0.6,
         interpret = jax.default_backend() != 'tpu'
     return _pallas_suppress_impl(top_boxes, top_scores, iou_threshold,
                                  interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point suppression for the FUSED formulation (nms.py fused_exact):
+# the XLA while_loop pays a kernel relaunch + HBM round trip of the keep
+# tensor per Jacobi iteration; here the whole iteration runs VMEM-resident
+# per image — scores [C, M], one shared overlap matrix [M, M], keep [C, M]
+# — and the lax.while_loop lives INSIDE the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _fixed_point_kernel(thr_ref, s_ref, iou_ref, keep_ref):
+    s = s_ref[0]                                    # [C, M]
+    M = s.shape[-1]
+    overlap = (iou_ref[0] > thr_ref[0])             # [M, M]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    jdx = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    tie = idx < jdx
+    higher = (s[:, :, None] > s[:, None, :]) | \
+        ((s[:, :, None] == s[:, None, :]) & tie[None])
+    sup = higher & overlap[None]                    # [C, M, M]
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        keep, _ = state
+        suppressed = jnp.any(sup & keep[:, :, None], axis=1)
+        new_keep = ~suppressed
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep0 = jnp.ones(s.shape, dtype=bool)
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.bool_(True)))
+    keep_ref[0] = keep.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def fixed_point_suppress(scores_cm, iou, iou_threshold=0.6,
+                         interpret=False):
+    """Exact greedy keep-mask for the fused-union formulation.
+
+    scores_cm [B, C, M] (class-major union scores), iou [B, M, M] shared
+    IoU over the union -> keep [B, C, M] bool, bit-identical to the XLA
+    Jacobi fixed point in nms.py (same suppressor relation and
+    tie-break). ``iou_threshold`` may be traced (it rides in SMEM)."""
+    B, C, M = scores_cm.shape
+    thr = jnp.asarray(iou_threshold, jnp.float32).reshape(1)
+    keep = pl.pallas_call(
+        _fixed_point_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, C, M), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, M), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(thr, scores_cm, iou)
+    return keep > 0.5
