@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: all native test coverage bench clean
+.PHONY: all native test coverage bench package image clean
 
 all: native
 
@@ -18,6 +18,13 @@ coverage: native
 
 bench: native
 	$(PYTHON) bench.py
+
+package:
+	$(PYTHON) -m pip wheel --no-deps -w build/dist .
+
+image:
+	docker build --tag watsor-tpu:latest --file docker/Dockerfile .
+	docker build --tag watsor-tpu:cpu    --file docker/Dockerfile.cpu .
 
 clean:
 	$(MAKE) -C watsor_tpu/native clean
