@@ -294,6 +294,101 @@ def tf_od_v1_variables_to_flax(variables, config=None):
     return {'params': params, 'batch_stats': stats}
 
 
+_INCEPTION_ROOT = 'FeatureExtractor/InceptionV2/'
+
+
+def tf_od_inception_variables_to_flax(variables, config=None):
+    """Map a TF-OD-API SSD-InceptionV2 variable dict (the slim layout of
+    the public ``ssd_inception_v2_coco_2018_01_28`` model.ckpt — the
+    third column of the reference's model table,
+    /root/reference/README.md:446-450) to the flax tree of the
+    ``backbone='inception_v2'`` SSD::
+
+        .../InceptionV2/Conv2d_1a_7x7/{depthwise,pointwise}_weights -> stem
+        .../InceptionV2/Conv2d_2b_1x1, Conv2d_2c_3x3        -> conv2b/2c
+        .../InceptionV2/Mixed_3b/Branch_0/Conv2d_0a_1x1 ... -> mixed_3b.b0 ...
+        .../InceptionV2/Mixed_5c_1_Conv2d_{i}_1x1_{c}       -> extra{i-2}_pw
+        .../InceptionV2/Mixed_5c_2_Conv2d_{i}_3x3_s2_{c}    -> extra{i-2}
+        BoxPredictor_{i}/...                                -> heads
+    """
+    from watsor_tpu.models.inception_v2 import INCEPTION_V2_BLOCKS
+    from watsor_tpu.models.ssd import SSDConfig
+    cfg = config if config is not None else SSDConfig(
+        backbone='inception_v2')
+    assert cfg.backbone == 'inception_v2'
+
+    params = {}
+    stats = {}
+    put = _make_put(variables, params, stats)
+
+    # stem: ONE separable unit — depthwise + pointwise kernels share one
+    # BatchNorm (slim separable_conv2d normalizes once, at the end)
+    scope = _INCEPTION_ROOT + 'Conv2d_1a_7x7'
+    try:
+        dw = np.asarray(variables[scope + '/depthwise_weights'])
+        pw = np.asarray(variables[scope + '/pointwise_weights'])
+        bn = {key: np.asarray(variables['{}/BatchNorm/{}'.format(scope,
+                                                                 key)])
+              for key in ('gamma', 'beta', 'moving_mean',
+                          'moving_variance')}
+    except KeyError as e:
+        raise MissingVariable(str(e))
+    kh, kw, cin, mult = dw.shape          # [7, 7, 3, 8]
+    params.setdefault('backbone', {})['stem'] = {
+        # slim depthwise output channel (i, j) = input i, filter j — the
+        # same group-major order lax grouped convs produce
+        'dw': {'kernel': dw.reshape(kh, kw, 1, cin * mult)},
+        'pw': {'kernel': pw},
+        'BatchNorm_0': {'scale': bn['gamma'], 'bias': bn['beta']},
+    }
+    stats.setdefault('backbone', {})['stem'] = {
+        'BatchNorm_0': {'mean': bn['moving_mean'],
+                        'var': bn['moving_variance']}}
+
+    put(('backbone', 'conv2b'), _INCEPTION_ROOT + 'Conv2d_2b_1x1')
+    put(('backbone', 'conv2c'), _INCEPTION_ROOT + 'Conv2d_2c_3x3')
+
+    for name, b0, b1, b2, b3, pool in INCEPTION_V2_BLOCKS:
+        scope = _INCEPTION_ROOT + 'Mixed_' + name.split('_')[1] + '/'
+        if b0 is None:        # reduction: two conv branches + maxpool
+            put(('backbone', name, 'b0_0'),
+                scope + 'Branch_0/Conv2d_0a_1x1')
+            put(('backbone', name, 'b0_1'),
+                scope + 'Branch_0/Conv2d_1a_3x3')
+            put(('backbone', name, 'b1_0'),
+                scope + 'Branch_1/Conv2d_0a_1x1')
+            put(('backbone', name, 'b1_1'),
+                scope + 'Branch_1/Conv2d_0b_3x3')
+            put(('backbone', name, 'b1_2'),
+                scope + 'Branch_1/Conv2d_1a_3x3')
+        else:
+            put(('backbone', name, 'b0'),
+                scope + 'Branch_0/Conv2d_0a_1x1')
+            put(('backbone', name, 'b1_0'),
+                scope + 'Branch_1/Conv2d_0a_1x1')
+            put(('backbone', name, 'b1_1'),
+                scope + 'Branch_1/Conv2d_0b_3x3')
+            put(('backbone', name, 'b2_0'),
+                scope + 'Branch_2/Conv2d_0a_1x1')
+            put(('backbone', name, 'b2_1'),
+                scope + 'Branch_2/Conv2d_0b_3x3')
+            put(('backbone', name, 'b2_2'),
+                scope + 'Branch_2/Conv2d_0c_3x3')
+            put(('backbone', name, 'b3'),
+                scope + 'Branch_3/Conv2d_0b_1x1')
+
+    for i, ch in enumerate(cfg.extra_features):
+        put(('extra{}_pw'.format(i),),
+            _INCEPTION_ROOT + 'Mixed_5c_1_Conv2d_{}_1x1_{}'.format(
+                i + 2, ch // 2))
+        put(('extra{}'.format(i),),
+            _INCEPTION_ROOT + 'Mixed_5c_2_Conv2d_{}_3x3_s2_{}'.format(
+                i + 2, ch))
+
+    _put_heads(variables, params, cfg.anchor_spec.num_layers)
+    return {'params': params, 'batch_stats': stats}
+
+
 def infer_head_kernel(variables):
     """The predictors' conv size from the checkpoint's weight shapes
     (public v2 uses 3x3, public v1 uses 1x1)."""
@@ -351,25 +446,33 @@ def convert_tf_od_checkpoint(checkpoint_path, config=None):
 def convert_tf_od_variables(variables, config=None):
     from watsor_tpu.models.ssd import SSDConfig
     is_v1 = any(name.startswith(_MOBILENET_V1_ROOT) for name in variables)
+    is_inception = any(name.startswith(_INCEPTION_ROOT)
+                       for name in variables)
     lite_dw = 'BoxPredictor_0/BoxEncodingPredictor_depthwise/' \
               'depthwise_weights'
     is_lite = lite_dw in variables
-    if is_lite and is_v1:
+    if is_lite and (is_v1 or is_inception):
         raise ValueError(
-            'SSDLite-on-MobileNetV1 checkpoints are not supported (the v1 '
-            'mapper covers the dense predictor layout only); retrain with '
-            'use_depthwise off or use the MobileNetV2 SSDLite')
+            'SSDLite predictors are only supported on the MobileNetV2 '
+            'backbone (the v1/inception mappers cover the dense predictor '
+            'layout only)')
     if config is None:
         if is_lite:
             head_kernel = int(np.asarray(variables[lite_dw]).shape[0])
         else:
             head_kernel = infer_head_kernel(variables)
+        backbone = 'mobilenet_v2'
+        if is_v1:
+            backbone = 'mobilenet_v1'
+        elif is_inception:
+            backbone = 'inception_v2'
         config = SSDConfig(num_classes=infer_num_classes(variables),
                            head_kernel=head_kernel, lite=is_lite,
-                           backbone='mobilenet_v1' if is_v1
-                           else 'mobilenet_v2')
+                           backbone=backbone)
     if config.backbone == 'mobilenet_v1':
         return tf_od_v1_variables_to_flax(variables, config), config
+    if config.backbone == 'inception_v2':
+        return tf_od_inception_variables_to_flax(variables, config), config
     return tf_od_variables_to_flax(variables, config), config
 
 
@@ -408,6 +511,8 @@ def main(argv=None):
         if name is None:
             if config.backbone == 'mobilenet_v1':
                 name = 'ssd_mobilenet_v1'
+            elif config.backbone == 'inception_v2':
+                name = 'ssd_inception_v2'
             elif config.lite:
                 name = 'ssdlite_mobilenet_v2'
             else:
@@ -437,6 +542,8 @@ def main(argv=None):
         if name is None:             # default name follows the detection
             if config.backbone == 'mobilenet_v1':
                 name = 'ssd_mobilenet_v1'
+            elif config.backbone == 'inception_v2':
+                name = 'ssd_inception_v2'
             elif getattr(config, 'lite', False):
                 name = 'ssdlite_mobilenet_v2'
             else:

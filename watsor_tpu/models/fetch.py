@@ -45,6 +45,10 @@ REGISTRY = {
         'http://download.tensorflow.org/models/object_detection/'
         'ssdlite_mobilenet_v2_coco_2018_05_09.tar.gz',
         'model.ckpt.index', None),
+    'ssd_inception_v2': (
+        'http://download.tensorflow.org/models/object_detection/'
+        'ssd_inception_v2_coco_2018_01_28.tar.gz',
+        'model.ckpt.index', None),
     # the reference's own CPU model file (Coral-published TFLite graph,
     # /root/reference/docker/Dockerfile.base model downloads)
     'ssd_mobilenet_v2_tflite': (

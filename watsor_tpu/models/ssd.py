@@ -29,8 +29,9 @@ from watsor_tpu.ops.preprocess import resize_bilinear_mxu
 class SSDConfig(NamedTuple):
     num_classes: int = 90          # foreground classes (COCO)
     input_size: int = 300
-    # 'mobilenet_v2' (default) or 'mobilenet_v1' — the two SSD families the
-    # reference documents for every backend (/root/reference/README.md:446)
+    # 'mobilenet_v2' (default), 'mobilenet_v1' or 'inception_v2' — the
+    # three SSD families of the reference's model table
+    # (/root/reference/README.md:446-450)
     backbone: str = 'mobilenet_v2'
     # box/class predictor conv size: the public v2 checkpoint uses 3x3,
     # the public v1 checkpoint 1x1 (TF-OD pipeline `kernel_size`); the
@@ -76,6 +77,9 @@ class SSD(nn.Module):
             from watsor_tpu.models.mobilenet_v1 import MobileNetV1Backbone
             backbone = MobileNetV1Backbone(cfg.width_multiplier,
                                            dtype=cfg.dtype, name='backbone')
+        elif cfg.backbone == 'inception_v2':
+            from watsor_tpu.models.inception_v2 import InceptionV2Backbone
+            backbone = InceptionV2Backbone(dtype=cfg.dtype, name='backbone')
         else:
             backbone = MobileNetV2Backbone(cfg.width_multiplier,
                                            dtype=cfg.dtype, name='backbone')

@@ -40,6 +40,8 @@ MODEL_REGISTRY = {
     'ssd_mobilenet_v1': (build_detector,
                          SSDConfig(backbone='mobilenet_v1')),
     'ssdlite_mobilenet_v2': (build_detector, SSDConfig(lite=True)),
+    'ssd_inception_v2': (build_detector,
+                         SSDConfig(backbone='inception_v2')),
     'ssd_mobilenet_v2_shapes': (build_detector, SSDConfig(num_classes=3)),
     'efficientdet_lite0': (_build_effdet, None),
 }
