@@ -210,3 +210,42 @@ def test_missing_variable_is_reported(tf_rig):
     del variables['BoxPredictor_3/ClassPredictor/weights']
     with pytest.raises(MissingVariable):
         tf_od_variables_to_flax(variables, CFG)
+
+
+def test_frozen_graph_pb_converts(tf_rig, tmp_path):
+    """The reference's cpu.pb model file (frozen_inference_graph.pb,
+    /root/reference/README.md:446) converts directly: freezing keeps the
+    slim variable names as Const nodes."""
+    from watsor_tpu.models.convert import (convert_tf_od_variables,
+                                           load_frozen_graph_variables)
+    from tests.test_convert_head import _slim_variables
+    model, _ = tf_rig
+    variables = _slim_variables(model)
+    # build a frozen graph: one Const node per variable, exact names
+    graph = tf.Graph()
+    with graph.as_default():
+        for name, value in variables.items():
+            tf.constant(value, name=name)
+    pb = tmp_path / 'cpu.pb'
+    pb.write_bytes(graph.as_graph_def().SerializeToString())
+
+    loaded = load_frozen_graph_variables(str(pb))
+    tree, config = convert_tf_od_variables(loaded)
+    assert config.backbone == 'mobilenet_v2'
+    got = np.asarray(tree['params']['cls_head0']['bias'])
+    expected = model.get_layer('cls_head0').get_weights()[1]
+    np.testing.assert_allclose(got, expected, atol=0)
+
+
+def test_saved_model_dir_resolves_to_variables_checkpoint(tmp_path):
+    from watsor_tpu.models.convert import resolve_model_source
+    sm = tmp_path / 'saved_model'
+    (sm / 'variables').mkdir(parents=True)
+    (sm / 'saved_model.pb').write_bytes(b'')
+    kind, source = resolve_model_source(str(sm))
+    assert kind == 'checkpoint'
+    assert source.endswith('variables/variables')
+    kind2, _ = resolve_model_source(str(tmp_path / 'model.ckpt'))
+    assert kind2 == 'checkpoint'
+    kind3, _ = resolve_model_source(str(tmp_path / 'cpu.pb'))
+    assert kind3 == 'frozen_graph'

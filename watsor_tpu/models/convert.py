@@ -435,6 +435,55 @@ def load_tf_checkpoint_variables(checkpoint_path):
             not in name and 'global_step' not in name}
 
 
+def load_frozen_graph_variables(pb_path):
+    """Read the Const tensors of a frozen inference graph (the
+    reference's ``cpu.pb`` model file,
+    /root/reference/README.md:446: "you only need frozen_inference_graph.pb
+    renamed as cpu.pb") into a {name: np.ndarray} dict.
+
+    Freezing turns every variable into a Const node that keeps the
+    variable's name (FeatureExtractor/.../weights, .../BatchNorm/gamma,
+    ...), so the result feeds the same slim mappers the checkpoints use."""
+    import tensorflow as tf
+    graph_def = tf.compat.v1.GraphDef()
+    with open(pb_path, 'rb') as f:
+        graph_def.ParseFromString(f.read())
+    variables = {}
+    for node in graph_def.node:
+        if node.op != 'Const':
+            continue
+        try:
+            value = tf.make_ndarray(node.attr['value'].tensor)
+        except (ValueError, TypeError):
+            continue
+        if value.ndim >= 1:          # weights/BN vectors; skip shape scalars
+            variables[node.name] = np.asarray(value)
+    if not variables:
+        raise ValueError('{} contains no constant tensors — not a frozen '
+                         'inference graph'.format(pb_path))
+    return variables
+
+
+def resolve_model_source(path):
+    """Classify a conversion source the way the reference's model folder
+    is laid out: a ``.tflite`` graph, a ``.pb`` frozen graph, a TF1
+    ``saved_model`` directory (variables under the slim names), or a
+    checkpoint prefix/.index/dir."""
+    import os
+    if path.endswith('.tflite'):
+        return 'tflite', path
+    if path.endswith('.pb') and not os.path.basename(path).startswith(
+            'saved_model'):
+        return 'frozen_graph', path
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, 'saved_model.pb')):
+        return 'checkpoint', os.path.join(path, 'variables', 'variables')
+    if os.path.basename(path) == 'saved_model.pb':
+        return 'checkpoint', os.path.join(os.path.dirname(path),
+                                          'variables', 'variables')
+    return 'checkpoint', path
+
+
 def convert_tf_od_checkpoint(checkpoint_path, config=None):
     """checkpoint -> (flax variables, SSDConfig). When ``config`` is None
     the backbone family (MobilenetV1/V2) and class count are inferred from
@@ -492,8 +541,10 @@ def main(argv=None):
                     'watsor-tpu weights')
     parser.add_argument('-c', '--checkpoint', required=True,
                         help='model.ckpt prefix, .index file, directory, '
-                             'or a .tflite detection graph (the '
-                             "reference's cpu.tflite/edgetpu.tflite files)")
+                             'a .tflite detection graph, a frozen .pb '
+                             'graph, or a TF1 saved_model directory (the '
+                             "reference's cpu.tflite/edgetpu.tflite/"
+                             'cpu.pb/saved_model model files)')
     parser.add_argument('-o', '--output', required=True,
                         help='model directory to write into')
     parser.add_argument('-n', '--name', default=None,
@@ -503,10 +554,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     from watsor_tpu.models.zoo import save_weights
 
-    if args.checkpoint.endswith('.tflite'):
+    kind, source = resolve_model_source(args.checkpoint)
+    if kind == 'tflite':
         from watsor_tpu.models.convert_tflite import convert_tflite_ssd
         variables, config, anchors = convert_tflite_ssd(
-            model_path=args.checkpoint)
+            model_path=source)
         name = args.name
         if name is None:
             if config.backbone == 'mobilenet_v1':
@@ -528,7 +580,10 @@ def main(argv=None):
             path, config.num_classes, config.input_size, config.input_size))
         return
 
-    variables_in = load_tf_checkpoint_variables(args.checkpoint)
+    if kind == 'frozen_graph':
+        variables_in = load_frozen_graph_variables(source)
+    else:
+        variables_in = load_tf_checkpoint_variables(source)
     from watsor_tpu.models.convert_effdet import (
         automl_effdet_variables_to_flax, infer_effdet_config,
         is_effdet_checkpoint)
