@@ -231,3 +231,29 @@ def test_coco_registry():
     assert coco_label_index('unicorn') == 0
     # colors deterministic
     assert get_coco_class(1).box_color == get_coco_class(1).box_color
+
+
+def test_model_key_selects_detector(tmp_path):
+    """`model:` in the YAML picks the zoo detector (CLI --model still
+    overrides); absent = zoo default."""
+    from watsor_tpu.config import loader
+    from watsor_tpu.main import detector_spec_from_config
+    import argparse
+    config_file = tmp_path / 'config.yaml'
+    config_file.write_text(
+        'model: efficientdet_lite2\n'
+        'cameras:\n'
+        '  - cam:\n'
+        '      width: 64\n'
+        '      height: 48\n'
+        '      input: synthetic://shapes\n'
+        '      ffmpeg: {decoder: [-i, -f, rawvideo, -pix_fmt, rgb24]}\n'
+        '      detect: [{person: }]\n')
+    config = loader.normalize(loader.validate(loader.parse(
+        str(config_file))), str(tmp_path))
+    name, _, _ = detector_spec_from_config(
+        config, argparse.Namespace(model=None))
+    assert name == 'efficientdet_lite2'
+    name, _, _ = detector_spec_from_config(
+        config, argparse.Namespace(model='ssd_mobilenet_v1'))
+    assert name == 'ssd_mobilenet_v1'

@@ -81,6 +81,10 @@ schema = {
     # tf.image.combined_non_max_suppression.
     'nms': {'type': 'string', 'default': 'fused_exact',
             'allowed': ['fused', 'fused_exact', 'exact']},
+    # detector selection (watsor_tpu extension; the reference probes the
+    # model dir for edgetpu.tflite/gpu.trt/cpu.pb files instead —
+    # detection/detector.py:40-50). CLI --model / WATSOR_MODEL override.
+    'model': {'type': 'string', 'required': False},
     'cameras': {
         'type': 'list',
         'required': True,

@@ -69,7 +69,8 @@ def detector_spec_from_config(config, args):
     (/root/reference/watsor/main_for_gpu.py:17-26)."""
     from watsor_tpu.config.coco import coco_label_index
     from watsor_tpu.models.zoo import DEFAULT_MODEL
-    model_name = getattr(args, 'model', None) or DEFAULT_MODEL
+    model_name = getattr(args, 'model', None) or config.get('model') \
+        or DEFAULT_MODEL
     watched = set()
     for camera in config['cameras']:
         camera_config = camera[next(iter(camera))]
