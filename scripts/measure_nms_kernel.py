@@ -1,11 +1,12 @@
 """fused_exact step cost: XLA while_loop vs the VMEM-resident Pallas
-fixed-point kernel (WATSOR_NMS_PALLAS=1), at C=90 and C=2.
+fixed-point kernel (nms_mode='fused_exact_pallas' — a STATIC jit arg, so
+the two legs compile distinct executables; the earlier env-flag design
+was frozen into the jit cache and measured XLA twice), at C=90 and C=2.
 
 timeout 3000 python -u scripts/measure_nms_kernel.py
 """
 
 import json
-import os
 import sys
 from time import perf_counter
 
@@ -26,9 +27,8 @@ def main():
                              .astype(np.uint8), device) for _ in range(3)]
     results = {}
     for labels, tag in ((None, 'C90'), ((1, 3), 'C2')):
-        for kernel in ('0', '1'):
-            os.environ['WATSOR_NMS_PALLAS'] = kernel
-            det = build_detector(SSDConfig(nms_mode='fused_exact',
+        for mode in ('fused_exact', 'fused_exact_pallas'):
+            det = build_detector(SSDConfig(nms_mode=mode,
                                            active_labels=labels))
             params = jax.device_put(det.params, device)
             jax.block_until_ready(det.detect_batch(params, frames[0]))
@@ -38,16 +38,16 @@ def main():
                 outs.append(det.detect_batch(params, frames[i % 3]))
             jax.block_until_ready(outs[-1])
             ms = (perf_counter() - t) / STEPS * 1000.0
-            key = '{}_{}'.format(tag, 'pallas' if kernel == '1' else 'xla')
+            key = '{}_{}'.format(tag, 'pallas' if 'pallas' in mode
+                                 else 'xla')
             results[key] = {'ms': round(ms, 2),
                             'fps': round(BATCH / ms * 1000.0, 1)}
             print(json.dumps({key: results[key]}), flush=True)
-    # sanity: same detections both ways (C2)
-    os.environ['WATSOR_NMS_PALLAS'] = '0'
+    # sanity: same detections both ways (C2); distinct static modes =
+    # distinct executables
     d0 = build_detector(SSDConfig(nms_mode='fused_exact',
                                   active_labels=(1, 3)))
-    os.environ['WATSOR_NMS_PALLAS'] = '1'
-    d1 = build_detector(SSDConfig(nms_mode='fused_exact',
+    d1 = build_detector(SSDConfig(nms_mode='fused_exact_pallas',
                                   active_labels=(1, 3)))
     p = jax.device_put(d0.params, device)
     a = jax.device_get(d0.detect_batch(p, frames[0]))

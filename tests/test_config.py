@@ -257,3 +257,26 @@ def test_model_key_selects_detector(tmp_path):
     name, _, _ = detector_spec_from_config(
         config, argparse.Namespace(model='ssd_mobilenet_v1'))
     assert name == 'ssd_mobilenet_v1'
+
+
+def test_unknown_model_name_fails_loudly(tmp_path):
+    """A typo'd model name must not silently serve the default detector
+    with random weights."""
+    import argparse
+    import pytest as _pytest
+    from watsor_tpu.config import loader
+    from watsor_tpu.main import detector_spec_from_config
+    config_file = tmp_path / 'config.yaml'
+    config_file.write_text(
+        'model: ssd_inceptionv2\n'            # typo: missing underscore
+        'cameras:\n'
+        '  - cam:\n'
+        '      width: 64\n'
+        '      height: 48\n'
+        '      input: synthetic://shapes\n'
+        '      ffmpeg: {decoder: [-i, -f, rawvideo, -pix_fmt, rgb24]}\n'
+        '      detect: [{person: }]\n')
+    config = loader.normalize(loader.validate(loader.parse(
+        str(config_file))), str(tmp_path))
+    with _pytest.raises(SystemExit, match='unknown model'):
+        detector_spec_from_config(config, argparse.Namespace(model=None))

@@ -68,9 +68,17 @@ def detector_spec_from_config(config, args):
     mode), the way the reference's engine build matches its runtime
     (/root/reference/watsor/main_for_gpu.py:17-26)."""
     from watsor_tpu.config.coco import coco_label_index
-    from watsor_tpu.models.zoo import DEFAULT_MODEL
+    from watsor_tpu.models.zoo import DEFAULT_MODEL, MODEL_REGISTRY
     model_name = getattr(args, 'model', None) or config.get('model') \
         or DEFAULT_MODEL
+    if model_name not in MODEL_REGISTRY and \
+            not model_name.startswith('efficientdet_'):
+        # build_from_zoo's silent default fallback is for programmatic
+        # callers; a config/CLI typo must fail loudly, not serve the
+        # wrong detector with random weights
+        raise SystemExit(
+            "unknown model '{}'; available: {}, efficientdet_lite0..4"
+            .format(model_name, ', '.join(sorted(MODEL_REGISTRY))))
     watched = set()
     for camera in config['cameras']:
         camera_config = camera[next(iter(camera))]

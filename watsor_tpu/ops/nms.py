@@ -120,34 +120,33 @@ def batched_class_aware_nms_fused(boxes, scores,
     higher = (s[:, :, :, None] > s[:, :, None, :]) | \
         ((s[:, :, :, None] == s[:, :, None, :]) &
          (idx[None, None, :, None] < idx[None, None, None, :]))
-    if suppression == 'greedy':
-        import os
-        if os.environ.get('WATSOR_NMS_PALLAS') == '1':
-            # VMEM-resident fixed point: the whole Jacobi iteration runs
-            # inside one kernel per image instead of relaunching an XLA
-            # while_loop body (opt-in pending a measured win)
-            from watsor_tpu.ops.nms_pallas import fixed_point_suppress
-            keep = fixed_point_suppress(s, iou,
-                                        iou_threshold=iou_threshold)
-            suppressed = ~keep
-        else:
-            def cond(state):
-                _, changed = state
-                return changed
+    if suppression == 'greedy_pallas':
+        # VMEM-resident fixed point: the whole Jacobi iteration runs
+        # inside one kernel per image instead of relaunching an XLA
+        # while_loop body. Selected STATICALLY (mode='fused_exact_pallas')
+        # — an env flag read at trace time would be frozen into the jit
+        # cache and silently ignored on later toggles.
+        from watsor_tpu.ops.nms_pallas import fixed_point_suppress
+        keep = fixed_point_suppress(s, iou, iou_threshold=iou_threshold)
+        suppressed = ~keep
+    elif suppression == 'greedy':
+        def cond(state):
+            _, changed = state
+            return changed
 
-            def body(state):
-                keep, _ = state
-                # i suppresses j only while i itself is kept
-                suppressed = jnp.any(
-                    higher & overlap & keep[:, :, :, None],
-                    axis=2)                                  # [B, C, M]
-                new_keep = ~suppressed
-                return new_keep, jnp.any(new_keep != keep)
+        def body(state):
+            keep, _ = state
+            # i suppresses j only while i itself is kept
+            suppressed = jnp.any(
+                higher & overlap & keep[:, :, :, None],
+                axis=2)                                      # [B, C, M]
+            new_keep = ~suppressed
+            return new_keep, jnp.any(new_keep != keep)
 
-            keep0 = jnp.ones(s.shape, dtype=bool)
-            keep, _ = jax.lax.while_loop(cond, body,
-                                         (keep0, jnp.bool_(True)))
-            suppressed = ~keep
+        keep0 = jnp.ones(s.shape, dtype=bool)
+        keep, _ = jax.lax.while_loop(cond, body,
+                                     (keep0, jnp.bool_(True)))
+        suppressed = ~keep
     else:
         suppressed = jnp.any(higher & overlap, axis=2)       # [B, C, M]
     kept = jnp.where(~suppressed & (s > score_threshold), s, 0.0)
@@ -193,12 +192,14 @@ def batched_class_aware_nms(boxes, scores,
                                           offset (edge_tpu.py:49).
       valid      [B]                      int32 count of real detections.
     """
-    if mode in ('fused', 'fused_exact'):
+    if mode in ('fused', 'fused_exact', 'fused_exact_pallas'):
+        suppression = {'fused': 'fast', 'fused_exact': 'greedy',
+                       'fused_exact_pallas': 'greedy_pallas'}[mode]
         return batched_class_aware_nms_fused(
             boxes, scores, iou_threshold=iou_threshold,
             score_threshold=score_threshold,
             max_detections=max_detections,
-            suppression='greedy' if mode == 'fused_exact' else 'fast')
+            suppression=suppression)
 
     B, A, C = scores.shape
     k = min(per_class_k, A)

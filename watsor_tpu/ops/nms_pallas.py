@@ -151,22 +151,33 @@ def fixed_point_suppress(scores_cm, iou, iou_threshold=0.6,
     IoU over the union -> keep [B, C, M] bool, bit-identical to the XLA
     Jacobi fixed point in nms.py (same suppressor relation and
     tie-break). ``iou_threshold`` may be traced (it rides in SMEM)."""
+    if not interpret and jax.default_backend() != 'tpu':
+        interpret = True      # CPU/GPU backends: interpreter fallback
     B, C, M = scores_cm.shape
+    # classes are independent in the fixed point, so the class axis chunks
+    # into the grid — bounds the per-block [cc, M, M] suppressor compare
+    # (a monolithic C=90 block overwhelms the Mosaic compiler)
+    cc = min(8, C)
+    pad = (-C) % cc
+    if pad:
+        scores_cm = jnp.pad(scores_cm, ((0, 0), (0, pad), (0, 0)),
+                            constant_values=-1.0)
+    Cp = C + pad
     thr = jnp.asarray(iou_threshold, jnp.float32).reshape(1)
     keep = pl.pallas_call(
         _fixed_point_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, C, M), jnp.float32),
-        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, Cp, M), jnp.float32),
+        grid=(B, Cp // cc),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (0,),
+            pl.BlockSpec((1,), lambda i, j: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, cc, M), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, M), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, M), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, cc, M), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(thr, scores_cm, iou)
-    return keep > 0.5
+    return keep[:, :C] > 0.5
