@@ -81,3 +81,22 @@ def get_coco_class(idx):
 def coco_label_index(label):
     """Label name -> index, or 0 ('unlabeled') if unknown."""
     return _LABEL_TO_INDEX.get(label, 0)
+
+
+# per-class filter defaults (the reference's schema defaults,
+# /root/reference/watsor/config/schema.py:71-109) — the single source the
+# host cascade AND the device tables read, so they cannot diverge
+DEFAULT_CONFIDENCE = 50.0     # percent
+DEFAULT_AREA = 10.0           # percent of the frame
+
+
+def iter_detect_entries(detect_config):
+    """Yield ``(label, class_name, options)`` for every known class of a
+    camera's ``detect:`` list — the one parse loop for the whole filter
+    stack (entries are single-key dicts whose value may be None)."""
+    for entry in detect_config:
+        name = next(iter(entry))
+        options = entry[name] or {}
+        label = coco_label_index(name)
+        if label:
+            yield label, name, options

@@ -63,9 +63,13 @@ class ObjectDetector(Task):
 
     def _on_start(self):
         # compile before the first real frame arrives (the reference builds
-        # its TRT engine offline for the same reason, main_for_gpu.py:17-26)
+        # its TRT engine offline for the same reason, main_for_gpu.py:17-26).
+        # Warm the bucket the live batches will actually hit: with N
+        # cameras the first real batch pads to bucket(N), and compiling it
+        # in-line would stall past the 30 s stale-frame reclaim.
         try:
-            self._backend.warmup(batch=1)
+            self._backend.warmup(batch=min(max(len(self.frame_buffers), 1),
+                                           self._max_batch))
         except Exception:
             self._logger.exception('Detector warmup failed')
 
@@ -119,6 +123,12 @@ class ObjectDetector(Task):
             frames.append(frame)
             senders.append(p.sender)
 
+        # epoch snapshot: if a frame is force-reclaimed (30 s stale rule)
+        # while this batch is in flight, its epoch changes — the late
+        # confirmation must then be dropped, not advance the new owner's
+        # latch
+        epochs = [frame.epoch for frame in frames]
+
         dispatch = getattr(self._backend, 'dispatch', None)
         if dispatch is None:
             # synchronous protocol (test doubles): no pipelining
@@ -130,7 +140,7 @@ class ObjectDetector(Task):
                 for frame in frames:
                     frame.latch.next()
                 return
-            self._scatter(result, frames)
+            self._scatter(result, frames, epochs)
             return
 
         try:
@@ -143,33 +153,41 @@ class ObjectDetector(Task):
         # the previous step computed while this batch staged + transferred
         self._staging_sel ^= 1
         self._finish_inflight()
-        self._inflight = (handle, frames)
+        self._inflight = (handle, frames, epochs)
 
     def _finish_inflight(self):
         if self._inflight is None:
             return
-        handle, frames = self._inflight
+        handle, frames, epochs = self._inflight
         self._inflight = None
         try:
             result = self._backend.resolve(handle)
         except Exception:
             self._logger.exception('Detection step failed')
-            for frame in frames:
-                frame.latch.next()
+            for frame, epoch in zip(frames, epochs):
+                if frame.epoch == epoch:
+                    frame.latch.next()
             return
-        self._scatter(result, frames)
+        self._scatter(result, frames, epochs)
 
     def _on_stop(self):
         # never strand a dispatched batch: its frames hold latch confirms
         self._finish_inflight()
 
-    def _scatter(self, result, frames):
+    def _scatter(self, result, frames, epochs=None):
         boxes, scores, classes, valid, device_ms = result[:5]
         zones_hit = result[5] if len(result) > 5 else None
 
         per_frame_ms = device_ms / len(frames)
         now = time()
         for i, frame in enumerate(frames):
+            if epochs is not None and frame.epoch != epochs[i]:
+                # the slot was force-reclaimed and re-owned while this
+                # batch was in flight; confirming would corrupt the new
+                # owner's latch cycle
+                self._logger.warning(
+                    'Dropping late detections for a reclaimed frame slot')
+                continue
             if frame.epoch > 0:
                 self.latency((now - frame.epoch) * 1000.0)
             if zones_hit is None:

@@ -98,11 +98,9 @@ class MaskFilter:
     def __init__(self, detect_config, zone_mask: ZoneMask):
         self._zone_mask = zone_mask
         # per-label allow-list: None = all zones allowed
+        from watsor_tpu.config.coco import iter_detect_entries
         self._allowed = {}
-        for entry in detect_config:
-            name = next(iter(entry))
-            options = entry[name] or {}
-            label = coco_label_index(name)
+        for label, _, options in iter_detect_entries(detect_config):
             zones = options.get('zones') or []
             self._allowed[label] = set(zones) if zones else None
 

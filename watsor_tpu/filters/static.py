@@ -12,19 +12,16 @@ the jitted program (SURVEY.md §7 stage 6).
 
 import numpy as np
 
-from watsor_tpu.config.coco import COCO_CLASSES, coco_label_index
+from watsor_tpu.config.coco import (COCO_CLASSES, DEFAULT_AREA,
+    DEFAULT_CONFIDENCE, coco_label_index)
 
 
 def _per_label_table(detect_config, key, default, fill):
     """[num_labels] table of per-class thresholds; unconfigured labels get
     ``fill`` (which encodes "drop")."""
+    from watsor_tpu.config.coco import iter_detect_entries
     table = np.full(len(COCO_CLASSES), fill, np.float32)
-    for entry in detect_config:
-        name = next(iter(entry))
-        options = entry[name] or {}
-        label = coco_label_index(name)
-        if label == 0:
-            continue
+    for label, _, options in iter_detect_entries(detect_config):
         table[label] = options.get(key, default)
     return table
 
@@ -35,7 +32,8 @@ class ConfidenceFilter:
     def __init__(self, detect_config):
         # thresholds are percents in config, confidences are [0, 1]
         self._min_confidence = _per_label_table(
-            detect_config, 'confidence', 50.0, fill=np.inf) / 100.0
+            detect_config, 'confidence', DEFAULT_CONFIDENCE,
+            fill=np.inf) / 100.0
 
     def thresholds_table(self):
         return self._min_confidence
@@ -51,7 +49,7 @@ class AreaFilter:
 
     def __init__(self, detect_config):
         self._min_area_pct = _per_label_table(
-            detect_config, 'area', 10.0, fill=np.inf)
+            detect_config, 'area', DEFAULT_AREA, fill=np.inf)
 
     def thresholds_table(self):
         return self._min_area_pct

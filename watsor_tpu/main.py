@@ -255,9 +255,11 @@ class Application:
             self._camera_tables[camera_name] = (conf, area, zs, za)
             # exact full-res zone pass over the device survivors (the
             # device grid over-approximates; this restores bit parity
-            # with the host cascade)
-            self._zone_refiners[camera_name] = None if zone_mask is None \
-                else ZoneRefiner(zone_mask, camera_config['detect'])
+            # with the host cascade); maskless cameras get NO entry so an
+            # all-maskless deployment skips the refine branch entirely
+            if zone_mask is not None:
+                self._zone_refiners[camera_name] = ZoneRefiner(
+                    zone_mask, camera_config['detect'])
         sieve_queue = Queue(1)
         sieve = DetectionSieve(camera_name + '-sieve', sieve_queue, buffer_in,
                                track, rate_limiter)

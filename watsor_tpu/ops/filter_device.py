@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from watsor_tpu.config.coco import COCO_CLASSES, coco_label_index
+from watsor_tpu.config.coco import (COCO_CLASSES, DEFAULT_AREA,
+    DEFAULT_CONFIDENCE, iter_detect_entries)
 from watsor_tpu.runtime.frames import MAX_ZONES
 
 # fixed zone-grid resolution on device: fine enough for camera zones, small
@@ -39,14 +40,9 @@ def threshold_tables(detect_config):
     configured get +inf (drop)."""
     conf = np.full(NUM_LABELS, np.inf, np.float32)
     area = np.full(NUM_LABELS, np.inf, np.float32)
-    for entry in detect_config:
-        name = next(iter(entry))
-        options = entry[name] or {}
-        label = coco_label_index(name)
-        if label == 0:
-            continue
-        conf[label] = options.get('confidence', 50.0) / 100.0
-        area[label] = options.get('area', 10.0) / 100.0
+    for label, _, options in iter_detect_entries(detect_config):
+        conf[label] = options.get('confidence', DEFAULT_CONFIDENCE) / 100.0
+        area[label] = options.get('area', DEFAULT_AREA) / 100.0
     return conf, area
 
 
@@ -72,10 +68,7 @@ def zone_tables(zone_mask, detect_config, max_zones=MAX_ZONES,
                            interpolation=cv2.INTER_AREA) > 0.0
         sats[z - 1, 1:, 1:] = np.cumsum(np.cumsum(small, axis=0), axis=1)
     # per-label allow lists (empty zones list = all zones allowed)
-    for entry in detect_config:
-        name = next(iter(entry))
-        options = entry[name] or {}
-        label = coco_label_index(name)
+    for label, _, options in iter_detect_entries(detect_config):
         zones = options.get('zones') or []
         if zones:
             for z in zones:
@@ -104,10 +97,7 @@ class ZoneRefiner:
         # [L, Z] allow matrix (empty zones list = every zone allowed),
         # mirroring filters/mask.MaskFilter._allowed
         allow = np.zeros((NUM_LABELS, znum), bool)
-        for entry in detect_config:
-            name = next(iter(entry))
-            options = entry[name] or {}
-            label = coco_label_index(name)
+        for label, _, options in iter_detect_entries(detect_config):
             zones = options.get('zones') or []
             if zones:
                 for z in zones:

@@ -44,8 +44,6 @@ class MQTT(WorkPublish):
                  mqtt_config, class_names, decoder, stop_event=None,
                  client_factory=MqttClient, topic_root='watsor/cameras'):
         self._camera = camera_name
-        self._classes = {get_coco_class(0).label if c is None else c: c
-                         for c in class_names}
         self._class_names = list(class_names)
         self._decoder = decoder
         self._prefix = '{}/{}'.format(topic_root, camera_name)

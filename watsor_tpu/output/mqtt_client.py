@@ -69,9 +69,11 @@ class MqttClient:
 
     def _send(self, packet):
         with self._write_lock:
-            if self._sock is None:
-                raise MqttError('not connected')
-            self._sock.sendall(packet)
+            sock = self._sock          # the reader thread's _teardown may
+            if sock is None:           # null the attribute concurrently;
+                raise MqttError('not connected')   # a local read keeps
+            sock.sendall(packet)       # the failure an OSError, not an
+                                       # AttributeError nothing catches
 
     def _recv_exact(self, n):
         data = b''

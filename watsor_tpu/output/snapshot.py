@@ -77,10 +77,6 @@ class Snapshot(WorkPublish):
     def _encode(self, image):
         if self._jpeg_encode is not None:
             return self._jpeg_encode(image)
-        try:
-            from watsor_tpu.io import native
-            return native.jpeg_encode(image)
-        except Exception:
-            import cv2
-            ok, data = cv2.imencode('.jpg', image[:, :, ::-1])
-            return data.tobytes() if ok else None
+        # single shared native-with-cv2-fallback path (http_stream owns it)
+        from watsor_tpu.output.http_stream import default_jpeg_encode
+        return default_jpeg_encode(image) or None

@@ -31,7 +31,13 @@ class BalancedQueue:
         assert self._sender is not None
         if not self._semaphores[self._sender].acquire(block, timeout):
             raise Full
-        self._delegate.put((self._sender, obj), block, timeout)
+        try:
+            self._delegate.put((self._sender, obj), block, timeout)
+        except Exception:
+            # never leak the permit: a Full delegate would otherwise
+            # silence this sender forever (quota never released)
+            self._semaphores[self._sender].release()
+            raise
 
     def get(self, block=True, timeout=None):
         sender, obj = self._delegate.get(block, timeout)
@@ -78,7 +84,9 @@ class Publish:
     def unsubscribe(self, a_queue):
         with self._subscribers_lock:
             self._subscribers[a_queue] -= 1
-            if self._subscribers[a_queue] == 0:
+            if self._subscribers[a_queue] <= 0:
+                # <= 0: an unbalanced unsubscribe must not leave a
+                # permanent negative-count phantom subscriber
                 del self._subscribers[a_queue]
 
     @property

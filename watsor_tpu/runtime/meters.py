@@ -40,10 +40,15 @@ class FramesPerSecond:
 
     @property
     def fps(self):
-        now = time()
+        # staleness by bucket SECOND, not first-event time: a bucket
+        # whose second is >= window old would be overwritten by a
+        # current frame at the same ring index, so it must not count
+        # (otherwise a dead stream reports non-zero fps for an extra
+        # second)
+        second = int(time())
         with self._lock:
             total = sum(count for stamp, count in self._buckets
-                        if now - stamp < self._window)
+                        if second - int(stamp) < self._window)
         return total / self._window
 
     def reset(self):
@@ -75,8 +80,11 @@ class InferenceTime:
         """Average milliseconds per inference, 0.0 when idle."""
         now = time()
         with self._lock:
-            n = sum(b[1] for b in self._buckets if now - b[0] < self._window)
-            total = sum(b[2] for b in self._buckets if now - b[0] < self._window)
+            second = int(now)
+            live = [b for b in self._buckets
+                    if second - int(b[0]) < self._window]
+            n = sum(b[1] for b in live)
+            total = sum(b[2] for b in live)
         return total / n if n else 0.0
 
 

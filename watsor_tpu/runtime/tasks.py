@@ -282,7 +282,13 @@ class WorkInOutPublish(WorkPublish, Publish):
                 out_index = self.frame_buffer_out.select_next_ready(
                     self._last_out_index, timeout=1.0)
                 if out_index < 0:
-                    raise BufferError("no READY output slot")
+                    # output ring exhausted (stalled subscribers pin the
+                    # slots): drop this frame and keep serving — dying
+                    # here would stop rendering for EVERY viewer until
+                    # the watchdog's next tick
+                    self._logger.warning(
+                        'No READY output slot; dropping frame')
+                    return
                 self._last_out_index = out_index
                 frame_out = self.frame_buffer_out.frames[out_index]
 
