@@ -53,7 +53,9 @@ _TYPES = {
 
 
 def _type_ok(value, type_name):
-    if type_name == 'integer' and isinstance(value, bool):
+    # bool is an int subclass, but `confidence: true` must not validate
+    # as a numeric threshold (cerberus semantics)
+    if type_name in ('integer', 'float') and isinstance(value, bool):
         return False
     return isinstance(value, _TYPES[type_name])
 

@@ -462,15 +462,43 @@ class DrawTextOverlay:
             a = 1.0
         return rgb, a
 
+    @staticmethod
+    def _eval_expr(expr, names):
+        """Safe arithmetic over drawtext variables: numbers, the variable
+        names, + - * / % and parentheses — never Python eval (configs are
+        untrusted operator input; ffmpeg's own expression parser cannot
+        execute host code and neither may its emulation)."""
+        import ast
+        import operator
+        ops = {ast.Add: operator.add, ast.Sub: operator.sub,
+               ast.Mult: operator.mul, ast.Div: operator.truediv,
+               ast.Mod: operator.mod, ast.USub: operator.neg,
+               ast.UAdd: operator.pos}
+
+        def walk(node):
+            if isinstance(node, ast.Expression):
+                return walk(node.body)
+            if isinstance(node, ast.Constant) and \
+                    isinstance(node.value, (int, float)):
+                return node.value
+            if isinstance(node, ast.Name) and node.id in names:
+                return names[node.id]
+            if isinstance(node, ast.BinOp) and type(node.op) in ops:
+                return ops[type(node.op)](walk(node.left), walk(node.right))
+            if isinstance(node, ast.UnaryOp) and type(node.op) in ops:
+                return ops[type(node.op)](walk(node.operand))
+            raise ValueError('unsupported drawtext expression')
+        return walk(ast.parse(expr, mode='eval'))
+
     def _position(self, w, h, tw, th):
         lh = th + 4
-        env = {'w': w, 'h': h, 'tw': tw, 'th': th, 'lh': lh,
-               'text_w': tw, 'text_h': th, 'line_h': lh,
-               'main_w': w, 'main_h': h, '__builtins__': {}}
+        names = {'w': w, 'h': h, 'tw': tw, 'th': th, 'lh': lh,
+                 'text_w': tw, 'text_h': th, 'line_h': lh,
+                 'main_w': w, 'main_h': h}
 
         def ev(expr, default):
             try:
-                return int(eval(expr, env))  # arithmetic over w/h/tw/th/lh
+                return int(self._eval_expr(expr, names))
             except Exception:
                 return default
         x = ev(self.fields.get('x', '8'), 8)
@@ -692,23 +720,31 @@ class VideoEncoder(WorkPublish, Publish):
             if not data:
                 return
             with self._subscribers_lock:
+                if len(self._subscribers) == 0:
+                    continue  # draining keeps the encoder buffer bounded
+            # the blocking ring scan runs OUTSIDE the registry lock: a
+            # full ring (one slow viewer) must not stall every other
+            # client's subscribe/unsubscribe for 0.1 s per chunk
+            ring = self.ts_ring
+            index = ring.buffer.select_next_ready(self._ts_last_index,
+                                                  timeout=0.1)
+            if index < 0:
+                continue
+            self._ts_last_index = index
+            slot = ring.buffer.frames[index]
+            flat = slot.image.reshape(-1)
+            flat[:len(data)] = np.frombuffer(data, np.uint8)
+            ring.lengths[index] = len(data)
+            with self._subscribers_lock:
+                # re-read under the lock: arming and publishing must see
+                # the same subscriber set (RLock — _publish re-enters)
                 n_subs = len(self._subscribers)
                 if n_subs == 0:
-                    continue  # draining keeps the encoder buffer bounded
-                ring = self.ts_ring
-                index = ring.buffer.select_next_ready(self._ts_last_index,
-                                                      timeout=0.1)
-                if index < 0:
-                    continue
-                self._ts_last_index = index
-                slot = ring.buffer.frames[index]
-                flat = slot.image.reshape(-1)
-                flat[:len(data)] = np.frombuffer(data, np.uint8)
-                ring.lengths[index] = len(data)
+                    continue       # slot stays READY, nothing armed
                 slot.stamp()
                 slot.latch.next()
                 slot.latch.next(n_subs)
                 count = self._publish(Payload(self.name, index))
-                while count < n_subs:
-                    slot.latch.next()
-                    count += 1
+            while count < n_subs:
+                slot.latch.next()
+                count += 1

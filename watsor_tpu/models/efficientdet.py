@@ -361,31 +361,13 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
     def raw_apply(p, images_f):
         return model.apply(p, images_f, train=False)
 
-    @jax.jit
-    def detect_batch(p, images_u8):
-        x = resize_bilinear_mxu(images_u8, cfg.input_size, cfg.input_size,
-                                dtype=jnp.float32)
-        x = ((x - cfg.mean_rgb) / cfg.stddev_rgb).astype(cfg.dtype)
-        box_enc, logits = model.apply(p, x, train=False)
-        boxes = decode_boxes(box_enc, anchors_dev,
-                             scales=cfg.box_coder_scales)
-        # class column i is 1-based label i+1; with an explicit background
-        # column the label columns start at 1 instead of 0
-        offset = 1 if cfg.explicit_background else 0
-        if active is not None:
-            scores = jax.nn.sigmoid(logits[..., active - 1 + offset])
-        else:
-            scores = jax.nn.sigmoid(logits[..., offset:])
-        b, s, c, v = batched_class_aware_nms(
-            boxes, scores,
-            iou_threshold=cfg.iou_threshold,
-            score_threshold=cfg.score_threshold,
-            max_detections=cfg.max_detections,
-            mode=cfg.nms_mode)
-        if active is not None:
-            c = jnp.where(c > 0, active[jnp.maximum(c - 1, 0)], 0)
-        from watsor_tpu.models.ssd import DetectionsBatch
-        return DetectionsBatch(b, s, c, v)
+    from watsor_tpu.models.ssd import make_detect_batch
+    # class column i is 1-based label i+1; with an explicit background
+    # column the label columns start at 1 instead of 0
+    detect_batch = make_detect_batch(
+        cfg, anchors_dev, raw_apply,
+        lambda x: ((x - cfg.mean_rgb) / cfg.stddev_rgb).astype(cfg.dtype),
+        background_offset=1 if cfg.explicit_background else 0)
 
     return EffDetDetector(model, cfg, params, np.asarray(anchors_dev),
                           detect_batch, raw_apply)

@@ -118,7 +118,9 @@ def _safe_extract(archive, dest):
                 raise FetchError(
                     'archive member escapes destination: ' + member.name)
             target = os.path.realpath(os.path.join(dest, member.name))
-            if not target.startswith(os.path.realpath(dest) + os.sep):
+            root = os.path.realpath(dest)
+            if target != root and not target.startswith(root + os.sep):
+                # ('.'/'./' members resolve to the root itself: legal)
                 raise FetchError(
                     'archive member escapes destination: ' +
                     member.name)

@@ -191,26 +191,49 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
     def raw_apply(p, images_f):
         return model.apply(p, images_f, train=False)
 
-    active = None
-    if cfg.active_labels is not None:
-        active = jnp.asarray(sorted(set(int(l) for l in cfg.active_labels
-                                        if 0 < int(l) <= cfg.num_classes)),
-                             jnp.int32)
+    def normalize(x):
+        return (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
+
+    detect_batch = make_detect_batch(cfg, anchors_dev, raw_apply, normalize)
+    return Detector(model, cfg, params, anchors, detect_batch, raw_apply)
+
+
+def active_label_array(cfg):
+    """The sorted watched-label vector (or None = all classes)."""
+    if cfg.active_labels is None:
+        return None
+    return jnp.asarray(sorted(set(int(l) for l in cfg.active_labels
+                                  if 0 < int(l) <= cfg.num_classes)),
+                       jnp.int32)
+
+
+def make_detect_batch(cfg, anchors_dev, raw_apply, normalize,
+                      background_offset=1):
+    """The ONE fused uint8-in -> detections-out postprocess every detector
+    family shares (float SSD, fused-block, int8, EfficientDet): device
+    resize -> ``normalize`` -> ``raw_apply`` -> box decode -> active-label
+    slice -> sigmoid -> class-aware NMS -> 1-based label remap.
+
+    ``background_offset``: logits column of label 1. SSD heads carry a
+    background column at 0 (offset 1); EfficientDet-Lite has none
+    (offset 0) unless ``explicit_background``."""
+    active = active_label_array(cfg)
 
     @jax.jit
     def detect_batch(p, images_u8):
         x = resize_bilinear_mxu(images_u8, cfg.input_size, cfg.input_size,
                                 dtype=jnp.float32)
-        x = (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
-        box_enc, logits = model.apply(p, x, train=False)
+        x = normalize(x)
+        box_enc, logits = raw_apply(p, x)
         boxes = decode_boxes(box_enc, anchors_dev,
                              scales=cfg.box_coder_scales)
         if active is not None:
             # slice the head to the watched classes: the NMS class axis
             # shrinks from num_classes to len(active)
-            scores = jax.nn.sigmoid(logits[..., active])
+            scores = jax.nn.sigmoid(
+                logits[..., active - 1 + background_offset])
         else:
-            scores = jax.nn.sigmoid(logits[..., 1:])  # drop background
+            scores = jax.nn.sigmoid(logits[..., background_offset:])
         b, s, c, v = batched_class_aware_nms(
             boxes, scores,
             iou_threshold=cfg.iou_threshold,
@@ -222,4 +245,4 @@ def build_detector(config: SSDConfig = SSDConfig(), rng=None,
             c = jnp.where(c > 0, active[jnp.maximum(c - 1, 0)], 0)
         return DetectionsBatch(b, s, c, v)
 
-    return Detector(model, cfg, params, anchors, detect_batch, raw_apply)
+    return detect_batch

@@ -143,26 +143,10 @@ def build_fused_detector(detector: Detector) -> Detector:
         return (jnp.concatenate(box_out, axis=1),
                 jnp.concatenate(cls_out, axis=1))
 
-    @jax.jit
-    def detect_batch(pk, images_u8):
-        x = resize_bilinear_mxu(images_u8, cfg.input_size, cfg.input_size,
-                                dtype=jnp.float32)
-        x = (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype)
-        box_enc, logits = raw_apply(pk, x)
-        boxes = decode_boxes(box_enc, anchors_dev,
-                             scales=getattr(cfg, 'box_coder_scales',
-                                            (10.0, 10.0, 5.0, 5.0)))
-        if active is not None:
-            scores = jax.nn.sigmoid(logits[..., active])
-        else:
-            scores = jax.nn.sigmoid(logits[..., 1:])
-        b, s, c, v = batched_class_aware_nms(
-            boxes, scores, iou_threshold=cfg.iou_threshold,
-            score_threshold=cfg.score_threshold,
-            max_detections=cfg.max_detections, mode=cfg.nms_mode)
-        if active is not None:
-            c = jnp.where(c > 0, active[jnp.maximum(c - 1, 0)], 0)
-        return DetectionsBatch(b, s, c, v)
+    from watsor_tpu.models.ssd import make_detect_batch
+    detect_batch = make_detect_batch(
+        cfg, anchors_dev, raw_apply,
+        lambda x: (x * (2.0 / 255.0) - 1.0).astype(cfg.dtype))
 
     return detector._replace(params=pack, detect_batch=detect_batch,
                              raw_apply=raw_apply)

@@ -56,6 +56,20 @@ def _match_anchors(anchors, coder_scales, gt_boxes, gt_labels, gt_valid):
     best_gt = jnp.argmax(iou, axis=1)                   # [A]
     best_iou = jnp.max(iou, axis=1)
     positive = best_iou >= MATCH_IOU
+    # force_match_for_each_row (TF-OD ArgMaxMatcher): every ground-truth
+    # box claims its single best anchor even below the IoU threshold —
+    # otherwise a small/odd-shaped object whose best anchor IoU is 0.45
+    # has zero positives and is systematically unlearnable
+    A = anchors.shape[0]
+    best_anchor = jnp.argmax(iou, axis=0)               # [G]
+    # invalid gts scatter to a shed row A so they can't clobber a valid
+    # gt's claim at a duplicated anchor index
+    target_anchor = jnp.where(gt_valid, best_anchor, A)
+    forced = jnp.zeros((A + 1,), bool).at[target_anchor].set(True)[:A]
+    forced_gt = jnp.zeros((A + 1,), best_gt.dtype) \
+        .at[target_anchor].set(jnp.arange(gt_boxes.shape[0]))[:A]
+    best_gt = jnp.where(forced, forced_gt, best_gt)
+    positive = positive | forced
     cls_targets = jnp.where(positive, gt_labels[best_gt], 0)
     box_targets = encode_boxes(gt_boxes[best_gt], anchors,
                                scales=coder_scales)

@@ -206,7 +206,7 @@ def batched_class_aware_nms(boxes, scores,
 
     top_scores, top_idx = _per_class_topk(scores, k)     # [B, C, k]
     top_boxes = jnp.take_along_axis(
-        boxes[:, None, :, :].repeat(1, axis=1),          # [B, 1, A, 4]
+        boxes[:, None, :, :],                            # [B, 1, A, 4]
         top_idx[..., None], axis=2)                      # -> [B, C, k, 4]
 
     if mode == 'pallas':

@@ -45,10 +45,17 @@ def param_shardings(mesh: Mesh, params, model_parallel: bool = True):
     split over the model axis on their output-channel dim; everything else
     is replicated (the backbone is small — batch sharding is the win)."""
 
+    def _key(entry):
+        # DictKey has .key; GetAttrKey (NamedTuple fields, e.g. the int8
+        # QUnit packs) has .name; SequenceKey has .idx — crash-free on any
+        # pytree the fleet may carry
+        return str(getattr(entry, 'key', getattr(entry, 'name',
+                                                 getattr(entry, 'idx', ''))))
+
     def spec_for(path, leaf):
-        if model_parallel and leaf.ndim == 4:
-            parent = path[-2].key if len(path) >= 2 else ''
-            name = path[-1].key if path else ''
+        if model_parallel and getattr(leaf, 'ndim', 0) == 4:
+            parent = _key(path[-2]) if len(path) >= 2 else ''
+            name = _key(path[-1]) if path else ''
             if name == 'kernel' and _MODEL_SHARDED_KERNEL.search(parent):
                 return P(None, None, None, MODEL_AXIS)
         return P()
