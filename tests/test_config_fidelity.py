@@ -406,3 +406,28 @@ def test_filter_fps_survives_missing_timestamps(tmp_path):
         n += 1
     dec.close()
     assert n >= 15, n   # no timestamps -> no dropping, stream not wedged
+
+
+def test_drawtext_expressions_are_sandboxed():
+    """Position expressions parse through a whitelisted AST walker —
+    arbitrary Python in a camera config must not execute."""
+    from watsor_tpu.io.video import DrawTextOverlay
+    flag = {'ran': False}
+
+    class Evil:
+        def __index__(self):
+            flag['ran'] = True
+            return 1
+    # attribute access / calls / subscripts are all rejected
+    for expr in ("().__class__.__base__.__subclasses__()",
+                 "__import__('os').system('true')",
+                 "[1][0]", "(lambda: 1)()"):
+        overlay = DrawTextOverlay("text='x': x={}: y=10".format(expr))
+        image = np.zeros((60, 120, 3), np.uint8)
+        overlay.apply(image)       # falls back to defaults, renders
+        assert image.any()
+    assert not flag['ran']
+    # legitimate arithmetic still works
+    overlay = DrawTextOverlay("text='x': x=w-tw-lh: y=h-2*lh")
+    x, y = overlay._position(320, 240, 50, 10)
+    assert 0 <= x <= 270 and y > 120

@@ -60,3 +60,33 @@ def test_positive_anchors_matched():
     state, metrics = step(state, _shape_batch())
     # a 30-60px box on a 128px image overlaps several anchors
     assert float(metrics['num_positive']) >= 1.0
+
+
+def test_force_match_assigns_low_iou_ground_truth():
+    """force_match_for_each_row (TF-OD ArgMaxMatcher): a gt whose best
+    anchor IoU is below the threshold still claims that anchor — without
+    it, small/odd-shaped objects have zero positives and are
+    unlearnable."""
+    import jax.numpy as jnp
+    import numpy as np
+    from watsor_tpu.models.train import _match_anchors
+
+    anchors = jnp.asarray([[0.0, 0.0, 0.4, 0.4],
+                           [0.6, 0.6, 1.0, 1.0]], jnp.float32)
+    # tiny gt inside anchor 0's cell: IoU ~0.0056 << 0.5
+    gt_boxes = jnp.asarray([[0.1, 0.1, 0.13, 0.13]], jnp.float32)
+    gt_labels = jnp.asarray([7], jnp.int32)
+    gt_valid = jnp.asarray([True])
+    cls, box, pos = _match_anchors(anchors, (10.0, 10.0, 5.0, 5.0),
+                                   gt_boxes, gt_labels, gt_valid)
+    assert bool(pos[0]) and int(cls[0]) == 7     # forced match
+    assert not bool(pos[1])
+
+    # an INVALID gt must not claim anything (nor clobber a valid claim)
+    gt_boxes2 = jnp.asarray([[0.1, 0.1, 0.13, 0.13],
+                             [0.0, 0.0, 0.01, 0.01]], jnp.float32)
+    gt_labels2 = jnp.asarray([7, 9], jnp.int32)
+    gt_valid2 = jnp.asarray([True, False])
+    cls2, _, pos2 = _match_anchors(anchors, (10.0, 10.0, 5.0, 5.0),
+                                   gt_boxes2, gt_labels2, gt_valid2)
+    assert bool(pos2[0]) and int(cls2[0]) == 7
