@@ -647,7 +647,6 @@ class VideoEncoder(WorkPublish, Publish):
         self.ts_ring = MpegTSRing() if broadcast else None
         self._ts_last_index = -1
         self.fps = FramesPerSecond()
-        self._wrote_any = False
         WorkPublish.__init__(self, name, frame_queue, frame_buffer, stop_event)
         Publish.__init__(self)
 
@@ -705,7 +704,6 @@ class VideoEncoder(WorkPublish, Publish):
             if self._ts_encoder is not None:
                 self._ts_encoder.write(image)
                 self._pump_ts()
-            self._wrote_any = True
             self.fps(True)
         except IOError:
             self._logger.exception('Encode error on %s', self.name)
