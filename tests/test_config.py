@@ -280,3 +280,28 @@ def test_unknown_model_name_fails_loudly(tmp_path):
         str(config_file))), str(tmp_path))
     with _pytest.raises(SystemExit, match='unknown model'):
         detector_spec_from_config(config, argparse.Namespace(model=None))
+
+
+def test_shipped_demo_config_parses_and_mask_loads():
+    """The in-repo demo (config/config.yaml + porch_mask.png) must stay
+    runnable — it is the Docker image's out-of-the-box configuration."""
+    import os
+    import cv2
+    from watsor_tpu.config import loader
+    from watsor_tpu.filters.mask import ZoneMask, get_alpha_channel
+    root = os.path.join(os.path.dirname(__file__), os.pardir, 'config')
+    path = os.path.abspath(os.path.join(root, 'config.yaml'))
+    config = loader.normalize(loader.validate(loader.parse(path)),
+                              os.path.dirname(path))
+    cam = config['cameras'][0]['demo']
+    assert cam['input'] == 'synthetic://shapes'
+    assert os.path.isabs(cam['mask']) and os.path.exists(cam['mask'])
+    image = cv2.imread(cam['mask'], cv2.IMREAD_UNCHANGED)
+    zm = ZoneMask(get_alpha_channel(image),
+                  (cam['height'], cam['width'], 3))
+    assert zm.num_zones == 2
+    # the demo encoder argv (drawtext incl.) translates warning-free
+    from watsor_tpu.io.video import encoder_args_from_argv
+    args = encoder_args_from_argv(cam['ffmpeg']['encoder'])
+    assert args.unknown == []
+    assert args.drawtext is not None
