@@ -14,6 +14,8 @@ in place (no separate result channel) and the latch is confirmed per frame,
 exactly as the reference's protocol requires.
 """
 
+import threading
+
 from queue import Empty
 from typing import Dict
 
@@ -55,6 +57,12 @@ class ObjectDetector(Task):
         self.inference_time = InferenceTime()
         # north-star metric: frame capture -> detections-in-header
         self.latency = LatencyMeter()
+        # set once warmup compiled the serving program: the application
+        # gates camera ingest on it (the reference holds ffmpeg under
+        # SIGSTOP until the workers are up, stream/ffmpeg.py:43-44 —
+        # frames decoded into a cold detector only age past the stale
+        # limit and are thrown away)
+        self.ready = threading.Event()
         super().__init__(name, stop_event)
 
     @property
@@ -72,6 +80,8 @@ class ObjectDetector(Task):
                                            self._max_batch))
         except Exception:
             self._logger.exception('Detector warmup failed')
+        finally:
+            self.ready.set()
 
     def _process(self):
         try:

@@ -644,7 +644,22 @@ class Application:
         config = self._read_config()
         self._setup(config)
 
+        decoders = [c.decoder for c in self._cameras]
         for task in self._all_tasks():
+            if task in decoders:
+                continue
+            task.start()
+            self._watchdog.add(task)
+        # gate camera ingest on detector warmup — the reference's
+        # SIGSTOP-until-workers-are-up gating of ffmpeg
+        # (/root/reference/watsor/stream/ffmpeg.py:43-44): frames decoded
+        # into a cold detector only age past the stale limit
+        for detector in self._detectors:
+            ready = getattr(detector, 'ready', None)
+            while ready is not None and not ready.wait(1.0):
+                if self._stop_main.is_set():
+                    break
+        for task in decoders:
             task.start()
             self._watchdog.add(task)
         self._watchdog.start()
