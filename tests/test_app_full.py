@@ -142,3 +142,56 @@ def test_mpegts_missing_for_camera_without_encoder(rig):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(url + '/video/mpegts/cam_b')
     assert err.value.code == 404
+
+
+def test_startup_gates_decoders_on_detector_warmup(tmp_path, caplog):
+    """Cameras must not decode into a cold detector: with a slow warmup
+    the decoders start only after `ready`, so startup produces no
+    'Frame missed' errors or stale-frame reclaims (the reference's
+    SIGSTOP gating of ffmpeg, stream/ffmpeg.py:43-44)."""
+    import logging
+    import socket
+    import time as _time
+
+    class SlowWarmupBackend(ShapeDetectorBackend):
+        def warmup(self, hw=None, batch=1):
+            _time.sleep(3.0)
+
+    sock = socket.socket()
+    sock.bind(('127.0.0.1', 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    config_file = tmp_path / 'config.yaml'
+    config_file.write_text(
+        'http:\n  port: {}\ncameras:\n'
+        '  - camg:\n      width: 160\n      height: 120\n'
+        '      input: synthetic://shapes\n'
+        '      ffmpeg: {{decoder: [-i, -f, rawvideo, -pix_fmt, rgb24]}}\n'
+        '      detect: [{{person: {{confidence: 10, area: 1}}}}]\n'
+        .format(port))
+    args = _parse_commandline_arguments(['-c', str(config_file)])
+    app = Application(args, backend_factory=lambda device:
+                      SlowWarmupBackend((120, 160)))
+    thread = threading.Thread(target=app.run, daemon=True)
+    with caplog.at_level(logging.WARNING):
+        thread.start()
+        deadline = time.time() + 30
+        flowed = False
+        while time.time() < deadline:
+            try:
+                metrics = json.loads(urllib.request.urlopen(
+                    'http://127.0.0.1:{}/metrics'.format(port),
+                    timeout=2).read())
+                if metrics['detectors'] and \
+                        metrics['detectors'][0]['fps'] > 0:
+                    flowed = True
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        app._stop_main.set()
+        thread.join(20)
+    assert flowed, 'detections never flowed'
+    bad = [r for r in caplog.records
+           if 'missed' in r.message.lower() or 'Reclaiming' in r.message]
+    assert not bad, [r.message for r in bad]
