@@ -60,14 +60,18 @@ def app_url(tmp_path_factory):
     thread = threading.Thread(target=app.run, daemon=True)
     thread.start()
 
+    import json as _json
     url = 'http://127.0.0.1:{}'.format(port)
     deadline = time.time() + 15
     while time.time() < deadline:
         try:
-            urllib.request.urlopen(url + '/health', timeout=1)
-            break
+            metrics = _json.loads(urllib.request.urlopen(
+                url + '/metrics', timeout=1).read())
+            if metrics['cameras']:       # HTTP now serves before _setup
+                break
         except Exception:
-            time.sleep(0.2)
+            pass
+        time.sleep(0.2)
     else:
         pytest.fail('application HTTP server did not come up')
     yield url

@@ -64,10 +64,13 @@ def rig(tmp_path_factory):
     deadline = time.time() + 20
     while time.time() < deadline:
         try:
-            urllib.request.urlopen(url + '/health', timeout=1)
-            break
+            metrics = json.loads(urllib.request.urlopen(
+                url + '/metrics', timeout=1).read())
+            if metrics['cameras']:       # HTTP now serves before _setup
+                break
         except Exception:
-            time.sleep(0.2)
+            pass
+        time.sleep(0.2)
     else:
         pytest.fail('application did not come up')
     yield url, broker, app

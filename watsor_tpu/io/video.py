@@ -409,6 +409,9 @@ class DrawTextOverlay:
         self._box = self.fields.get('box', '0') not in ('0', '', 'false')
         self._boxcolor, self._boxalpha = self._color(
             self.fields.get('boxcolor', 'black@0.5'))
+        # position expressions parse once here, evaluate per frame
+        self._x_expr = self._compile_expr(self.fields.get('x', '8'))
+        self._y_expr = self._compile_expr(self.fields.get('y', 'h-2*lh'))
 
     @staticmethod
     def _parse(spec):
@@ -463,32 +466,45 @@ class DrawTextOverlay:
         return rgb, a
 
     @staticmethod
-    def _eval_expr(expr, names):
-        """Safe arithmetic over drawtext variables: numbers, the variable
-        names, + - * / % and parentheses — never Python eval (configs are
-        untrusted operator input; ffmpeg's own expression parser cannot
-        execute host code and neither may its emulation)."""
+    def _compile_expr(expr):
+        """Parse a drawtext position expression ONCE into a closure over
+        a whitelisted AST: numbers, the drawtext variables, + - * / % and
+        parentheses — never Python eval (configs are untrusted operator
+        input; ffmpeg's own expression parser cannot execute host code
+        and neither may its emulation). Returns None for anything else."""
         import ast
         import operator
         ops = {ast.Add: operator.add, ast.Sub: operator.sub,
                ast.Mult: operator.mul, ast.Div: operator.truediv,
                ast.Mod: operator.mod, ast.USub: operator.neg,
                ast.UAdd: operator.pos}
+        allowed = {'w', 'h', 'tw', 'th', 'lh', 'text_w', 'text_h',
+                   'line_h', 'main_w', 'main_h'}
 
-        def walk(node):
+        def build(node):
             if isinstance(node, ast.Expression):
-                return walk(node.body)
+                return build(node.body)
             if isinstance(node, ast.Constant) and \
                     isinstance(node.value, (int, float)):
-                return node.value
-            if isinstance(node, ast.Name) and node.id in names:
-                return names[node.id]
+                value = node.value
+                return lambda names: value
+            if isinstance(node, ast.Name) and node.id in allowed:
+                key = node.id
+                return lambda names: names[key]
             if isinstance(node, ast.BinOp) and type(node.op) in ops:
-                return ops[type(node.op)](walk(node.left), walk(node.right))
+                op = ops[type(node.op)]
+                left = build(node.left)
+                right = build(node.right)
+                return lambda names: op(left(names), right(names))
             if isinstance(node, ast.UnaryOp) and type(node.op) in ops:
-                return ops[type(node.op)](walk(node.operand))
+                op = ops[type(node.op)]
+                operand = build(node.operand)
+                return lambda names: op(operand(names))
             raise ValueError('unsupported drawtext expression')
-        return walk(ast.parse(expr, mode='eval'))
+        try:
+            return build(ast.parse(expr, mode='eval'))
+        except (ValueError, SyntaxError):
+            return None
 
     def _position(self, w, h, tw, th):
         lh = th + 4
@@ -496,13 +512,15 @@ class DrawTextOverlay:
                  'text_w': tw, 'text_h': th, 'line_h': lh,
                  'main_w': w, 'main_h': h}
 
-        def ev(expr, default):
+        def ev(fn, default):
+            if fn is None:
+                return default
             try:
-                return int(self._eval_expr(expr, names))
+                return int(fn(names))
             except Exception:
                 return default
-        x = ev(self.fields.get('x', '8'), 8)
-        y = ev(self.fields.get('y', str(h - 2 * lh)), h - 2 * lh)
+        x = ev(self._x_expr, 8)
+        y = ev(self._y_expr, h - 2 * lh)
         return max(0, min(x, w - tw)), max(th, min(y + th, h - 2))
 
     def apply(self, image):

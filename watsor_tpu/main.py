@@ -642,6 +642,12 @@ class Application:
         init_logging(self._args.log_level, self._args.log_path)
         self._install_signal_handler()
         config = self._read_config()
+        # HTTP first: /health and /metrics must answer during the model
+        # build + warmup compile (minutes on a cold TPU cache) or every
+        # container liveness probe restarts the service before it can
+        # ever come up; routes tolerate the not-yet-built camera list
+        self._http_config = config.get('http', {})
+        self._http_serve()
         self._setup(config)
 
         decoders = [c.decoder for c in self._cameras]
@@ -650,20 +656,28 @@ class Application:
                 continue
             task.start()
             self._watchdog.add(task)
-        # gate camera ingest on detector warmup — the reference's
-        # SIGSTOP-until-workers-are-up gating of ffmpeg
-        # (/root/reference/watsor/stream/ffmpeg.py:43-44): frames decoded
-        # into a cold detector only age past the stale limit
-        for detector in self._detectors:
-            ready = getattr(detector, 'ready', None)
-            while ready is not None and not ready.wait(1.0):
-                if self._stop_main.is_set():
-                    break
-        for task in decoders:
-            task.start()
-            self._watchdog.add(task)
+
+        def start_decoders_when_warm():
+            # gate camera ingest on detector warmup — the reference's
+            # SIGSTOP-until-workers-are-up gating of ffmpeg
+            # (/root/reference/watsor/stream/ffmpeg.py:43-44): frames
+            # decoded into a cold detector only age past the stale limit.
+            # Runs in the background so /health and /metrics serve during
+            # the compile window (minutes on a cold cache).
+            for detector in self._detectors:
+                ready = getattr(detector, 'ready', None)
+                while ready is not None and not ready.wait(1.0):
+                    if self._stop_main.is_set():
+                        return       # shutting down: never start ingest
+            if self._stop_main.is_set():
+                return
+            for task in decoders:
+                task.start()
+                self._watchdog.add(task)
+
+        threading.Thread(target=start_decoders_when_warm,
+                         name='decoder-gate', daemon=True).start()
         self._watchdog.start()
-        self._http_serve()
 
         _LOGGER.info('watsor-tpu running: %d camera(s), %d detector(s)',
                      len(self._cameras), len(self._detectors))

@@ -352,11 +352,6 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
                 f'head geometry {expected} — the sidecar is stale or '
                 f'belongs to a different model')
     anchors_dev = jnp.asarray(np.asarray(anchors, np.float32))
-    active = None
-    if cfg.active_labels is not None:
-        active = jnp.asarray(sorted(set(int(l) for l in cfg.active_labels
-                                        if 0 < int(l) <= cfg.num_classes)),
-                             jnp.int32)
 
     def raw_apply(p, images_f):
         return model.apply(p, images_f, train=False)

@@ -123,12 +123,6 @@ def build_fused_detector(detector: Detector) -> Detector:
     anchors_dev = jnp.asarray(detector.anchors)
     num_cls = cfg.num_classes + 1
 
-    active = None
-    if cfg.active_labels is not None:
-        active = jnp.asarray(sorted(set(
-            int(l) for l in cfg.active_labels
-            if 0 < int(l) <= cfg.num_classes)), jnp.int32)
-
     def raw_apply(pk, images_f):
         feats = fused_features(pk, images_f.astype(cfg.dtype), cfg)
         box_out, cls_out = [], []

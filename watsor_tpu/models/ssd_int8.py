@@ -329,12 +329,6 @@ def build_int8_detector(detector: Detector, calibration_images_u8,
     anchors_dev = jnp.asarray(detector.anchors)
     num_cls = cfg.num_classes + 1
 
-    active = None
-    if cfg.active_labels is not None:
-        active = jnp.asarray(sorted(set(
-            int(l) for l in cfg.active_labels
-            if 0 < int(l) <= cfg.num_classes)), jnp.int32)
-
     def raw_apply(bundle, images_f):
         pk, heads = bundle
         # [-1, 1] float input -> int8 (quantum 1/127)

@@ -80,7 +80,10 @@ class Task:
         self.stop_event.set()
 
     def join(self, timeout=None):
-        self._thread.join(timeout)
+        try:
+            self._thread.join(timeout)
+        except RuntimeError:
+            pass       # never started (e.g. shutdown during start gating)
 
     def is_alive(self):
         return self._thread.is_alive()
