@@ -65,7 +65,7 @@ def _push_frame(buffer, queue, detections):
     for i, (label, conf) in enumerate(detections):
         records[i]['label'] = label
         records[i]['confidence'] = conf
-        records[i]['bbox'] = (4, 4, 40, 40)
+        records[i]['bbox'] = (4, 8, 40, 64)   # (y0, x0, y1, x1) px
     frame.set_detections(records)
     # drive the slot to PUBLISH with one pending confirmation (the stage's)
     frame.latch.next()
@@ -110,9 +110,12 @@ def test_details_toggle_and_payload(rig):
         time.sleep(0.05)
     assert stage._details_enabled
     _push_frame(buffer, queue, [(3, 0.8)])   # car
+    # exact reference wire format (output/mqtt.py:213-221): 'b' is
+    # x-major [x_min, y_min, x_max, y_max]; 't' is an ISO timestamp
     assert broker.wait_for(
         lambda t, p: t == PREFIX + '/detection/car/details'
-        and b'"c":80' in p and b'"b":' in p)
+        and b'"c":80' in p and b'"b":[8,4,64,40]' in p
+        and b'"t":"2' in p)
 
 
 def test_command_off_on_fps(rig):

@@ -209,21 +209,28 @@ class MQTT(WorkPublish):
                 self._client.publish(topic, 'OFF', retain=True)
 
     def _report_details(self, detections, epoch):
+        from datetime import datetime
         by_class = {}
         for det in detections:
             style = get_coco_class(int(det['label']))
+            # wire format is the reference's exactly
+            # (/root/reference/watsor/output/mqtt.py:213-221): 'b' is
+            # [x_min, y_min, x_max, y_max] (the header stores y-major),
+            # 't' is an ISO timestamp
+            y0, x0, y1, x1 = (int(v) for v in det['bbox'])
             entry = {
                 'c': round(float(det['confidence']) * 100.0, 1),
-                'b': [int(v) for v in det['bbox']],
+                'b': [x0, y0, x1, y1],
             }
             n = int(det['num_zones'])
             if n:
                 entry['z'] = [int(z) for z in det['zones'][:n]]
             by_class.setdefault(style.label, []).append(entry)
+        stamp = datetime.fromtimestamp(epoch).isoformat()
         for class_name, entries in by_class.items():
             topic = '{}/detection/{}/details'.format(self._prefix, class_name)
             self._client.publish(topic, json.dumps(
-                {'t': epoch, 'd': entries}, separators=(',', ':')))
+                {'t': stamp, 'd': entries}, separators=(',', ':')))
 
     def _report_sensor(self):
         sensor = {
