@@ -96,9 +96,14 @@ def test_home_page_lists_camera(app_url):
 def test_metrics_shape_and_progress(app_url):
     time.sleep(2)
     metrics = json.loads(_get(app_url + '/metrics'))
-    assert 'synth1' in metrics['cameras']
-    cam = metrics['cameras']['synth1']
-    assert cam['decoder']['fps'] > 0, "decoder not producing frames"
+    by_name = {c['name']: c for c in metrics['cameras']}
+    assert 'synth1' in by_name
+    cam = by_name['synth1']
+    # reference JSON shape (/root/reference/watsor/main.py:221-253)
+    assert set(cam) >= {'name', 'fps', 'buffer_in', 'buffer_out'}
+    assert set(cam['fps']) >= {'decoder', 'sieve', 'visual_effects',
+                               'snapshot'}
+    assert cam['fps']['decoder'] > 0, "decoder not producing frames"
     assert len(metrics['detectors']) >= 1
     assert metrics['detectors'][0]['fps'] > 0, "detector not consuming"
 

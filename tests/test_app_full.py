@@ -87,7 +87,7 @@ def _get(url, timeout=5):
 def test_both_cameras_listed(rig):
     url, broker, app = rig
     metrics = json.loads(_get(url + '/metrics'))
-    assert set(metrics['cameras']) == {'cam_a', 'cam_b'}
+    assert {c['name'] for c in metrics['cameras']} == {'cam_a', 'cam_b'}
 
 
 def test_mqtt_availability_and_states_flow(rig):

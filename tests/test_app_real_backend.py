@@ -82,7 +82,7 @@ def _drive_real_app(tmp_path, monkeypatch, env=(), deadline_s=300):
             pytest.fail('no real inference flowed within {}s: {}'.format(
                 deadline_s, metrics))
         # the rest of the graph runs off the real detections
-        assert metrics['cameras']['cam_r']['decoder']['fps'] > 0
+        assert metrics['cameras'][0]['fps']['decoder'] > 0
         return app, metrics
     finally:
         app._stop_main.set()

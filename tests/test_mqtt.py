@@ -84,7 +84,7 @@ def test_detection_state_and_sensor(rig):
         lambda t, p: t == PREFIX + '/detection/person/state' and p == b'ON')
     assert broker.wait_for(lambda t, p: t == PREFIX + '/sensor'
                            and b'fps_in' in p)
-    assert broker.wait_for(lambda t, p: t == PREFIX + '/state' and p == b'on')
+    assert broker.wait_for(lambda t, p: t == PREFIX + '/state' and p == b'ON')
     # car was never seen: no ON for it
     assert not any(t == PREFIX + '/detection/car/state' and p == b'ON'
                    for t, p, _ in broker.records)

@@ -77,7 +77,7 @@ def test_off_on_cycle_with_watchdog():
         time.sleep(1.5)   # several watchdog cycles
         assert not decoder.is_alive(), 'watchdog resurrected a disabled camera'
         assert broker.wait_for(
-            lambda t, p: t == PREFIX + '/state' and p == b'off', timeout=10)
+            lambda t, p: t == PREFIX + '/state' and p == b'OFF', timeout=10)
 
         broker.publish(PREFIX + '/command', 'ON')
         deadline = time.time() + 10
@@ -85,7 +85,7 @@ def test_off_on_cycle_with_watchdog():
             time.sleep(0.05)
         assert decoder.is_alive(), 'watchdog did not resurrect after ON'
         assert broker.wait_for(
-            lambda t, p: t == PREFIX + '/state' and p == b'on', timeout=10)
+            lambda t, p: t == PREFIX + '/state' and p == b'ON', timeout=10)
     finally:
         stop_all.set()
         stage.terminate()

@@ -68,9 +68,10 @@ def test_dead_camera_does_not_poison_the_app(tmp_path):
         time.sleep(3)
         with urllib.request.urlopen(url + '/metrics', timeout=5) as resp:
             metrics = json.loads(resp.read())
-        assert metrics['cameras']['livecam']['decoder']['fps'] > 5, \
+        by_name = {c['name']: c for c in metrics['cameras']}
+        assert by_name['livecam']['fps']['decoder'] > 5, \
             'healthy camera starved by the dead one'
-        assert metrics['cameras']['deadcam']['decoder']['fps'] == 0.0
+        assert by_name['deadcam']['fps']['decoder'] == 0.0
         # the dead decoder is down but NOT shut down: the watchdog will
         # keep resurrecting it (automatic reconnect posture)
         dead = app._camera_by_name('deadcam').decoder

@@ -68,9 +68,8 @@ def test_all_32_cameras_progress(app32):
     while time.time() < deadline:
         with urllib.request.urlopen(url + '/metrics', timeout=10) as resp:
             metrics = json.load(resp)
-        decoders = [c['decoder']['fps']
-                    for c in metrics['cameras'].values()]
-        sieves = [c['sieve']['fps'] for c in metrics['cameras'].values()]
+        decoders = [c['fps']['decoder'] for c in metrics['cameras']]
+        sieves = [c['fps']['sieve'] for c in metrics['cameras']]
         if len(decoders) == N_CAMS and min(decoders) > 0 and \
                 min(sieves) > 0:
             break
@@ -92,6 +91,6 @@ def test_batches_form_across_cameras(app32):
     import json
     with urllib.request.urlopen(url + '/metrics', timeout=10) as resp:
         metrics = json.load(resp)
-    sieve_sum = sum(c['sieve']['fps'] for c in metrics['cameras'].values())
+    sieve_sum = sum(c['fps']['sieve'] for c in metrics['cameras'])
     det_fps = metrics['detectors'][0]['fps']
     assert det_fps >= sieve_sum * 0.8, (det_fps, sieve_sum)

@@ -61,13 +61,13 @@ def test_four_camera_soak(tmp_path):
         time.sleep(8)
         with urllib.request.urlopen(url + '/metrics', timeout=5) as resp:
             metrics = json.loads(resp.read())
-        for name, cam in metrics['cameras'].items():
-            assert cam['decoder']['fps'] > 5, \
-                '{} decoder starved: {}'.format(name, cam)
-            assert cam['sieve']['fps'] > 5, \
-                '{} sieve starved: {}'.format(name, cam)
+        for cam in metrics['cameras']:
+            assert cam['fps']['decoder'] > 5, \
+                'decoder starved: {}'.format(cam)
+            assert cam['fps']['sieve'] > 5, \
+                'sieve starved: {}'.format(cam)
             assert cam['buffer_in'] < 90, \
-                '{} ring saturated: {}'.format(name, cam)
+                'ring saturated: {}'.format(cam)
         det = metrics['detectors'][0]
         assert det['fps'] > 20, 'detector underfed: {}'.format(det)
         assert det['latency_ms_p50'] < 1000

@@ -446,29 +446,40 @@ class Application:
         return None
 
     def _metrics(self):
-        cameras = {}
+        # JSON shape matches the reference consumer-for-consumer
+        # (/root/reference/watsor/main.py:221-253): cameras is a LIST of
+        # {name, fps: {stage: value}, buffer_in, buffer_out} with
+        # encoder/mqtt fps present only when configured; detectors carry
+        # {name, fps, fps_max, inference_time}. The latency percentiles
+        # are watsor-tpu additions (extra keys are additive-compatible).
+        cameras = []
         for c in self._cameras:
-            cameras[c.name] = {
-                'decoder': {'fps': round(c.decoder.fps.fps, 1)},
-                'sieve': {'fps': round(c.sieve.fps.fps, 1),
-                          'latency_ms_p50': round(c.sieve.latency.p50, 1)},
-                'visual_effects': {'fps': round(c.visual_effects.fps.fps, 1)},
-                'snapshot': {'fps': round(c.snapshot.fps.fps, 1)},
-                'encoder': {'fps': round(c.encoder.fps.fps, 1)}
-                if c.encoder else None,
-                'mqtt': {'fps': round(c.mqtt.fps.fps, 1)} if c.mqtt else None,
-                'buffer_in': int(c.buffer_in.fullness * 100),
-                'buffer_out': int(c.buffer_out.fullness * 100),
+            fps = {
+                'decoder': round(c.decoder.fps.fps, 1),
+                'sieve': round(c.sieve.fps.fps, 1),
+                'visual_effects': round(c.visual_effects.fps.fps, 1),
+                'snapshot': round(c.snapshot.fps.fps, 1),
             }
+            if c.encoder is not None:
+                fps['encoder'] = round(c.encoder.fps.fps, 1)
+            if c.mqtt is not None:
+                fps['mqtt'] = round(c.mqtt.fps.fps, 1)
+            cameras.append({
+                'name': c.name,
+                'fps': fps,
+                'buffer_in': round(c.buffer_in.fullness * 100),
+                'buffer_out': round(c.buffer_out.fullness * 100),
+                'latency_ms_p50': round(c.sieve.latency.p50, 1),
+            })
         detectors = []
         for d in self._detectors:
             inference_time = d.inference_time.value
             detectors.append({
                 'name': d.device_name,
                 'fps': round(d.fps.fps, 1),
-                'fps_max': round(1000.0 / inference_time, 1)
+                'fps_max': round(1000.0 / inference_time)
                 if inference_time else 0.0,
-                'inference_time': round(inference_time, 2),
+                'inference_time': round(inference_time, 1),
                 # north-star metric: frame capture -> detections in header
                 'latency_ms_p50': round(d.latency.p50, 1),
                 'latency_ms_p95': round(d.latency.p95, 1),

@@ -4,7 +4,7 @@ Topic tree and command language match the reference bit-for-bit
 (/root/reference/watsor/output/mqtt.py:31-286, README topic docs):
 
     watsor/cameras/{camera}/available            online|offline (retained, LWT)
-    watsor/cameras/{camera}/state                on|off (decoder running)
+    watsor/cameras/{camera}/state                ON|OFF (decoder commanded)
     watsor/cameras/{camera}/command       <-     ON | OFF | FPS = n | details = on/off
     watsor/cameras/{camera}/sensor               {"fps_in":..,"fps_out":..,"buffer":..}
     watsor/cameras/{camera}/detection/{class}/state    ON|OFF (OFF after 10 s quiet)
@@ -236,7 +236,7 @@ class MQTT(WorkPublish):
         sensor = {
             'fps_in': round(self._decoder.fps.fps, 1),
             'fps_out': round(self.fps.fps, 1),
-            'buffer': int(self.frame_buffer.fullness * 100),
+            'buffer': round(self.frame_buffer.fullness * 100),
         }
         if sensor != self._last_sensor:
             self._last_sensor = sensor
@@ -245,7 +245,9 @@ class MQTT(WorkPublish):
                                  retain=True)
 
     def _report_camera_state(self):
-        state = 'on' if self._decoder.is_alive() else 'off'
+        # exact reference payloads and rule: 'OFF' iff the camera was
+        # commanded off (/root/reference/watsor/output/mqtt.py:280-286)
+        state = 'OFF' if self._decoder.is_shutdown() else 'ON'
         if state != self._last_camera_state:
             self._last_camera_state = state
             self._client.publish(self._prefix + '/state', state, retain=True)
