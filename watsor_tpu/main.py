@@ -517,7 +517,8 @@ class Application:
         if not self._check_auth(environ):
             response = Response(
                 'Unauthorized', status=401,
-                headers={'WWW-Authenticate': 'Basic realm="watsor"'})
+                headers={'WWW-Authenticate':
+                         'Basic realm="Access to Watsor"'})
             return response(environ, start_response)
 
         try:
@@ -526,7 +527,7 @@ class Application:
             elif path == '/health':
                 response = Response('UP', mimetype='text/plain')
             elif path == '/metrics':
-                response = Response(json.dumps(self._metrics(), indent=2),
+                response = Response(json.dumps(self._metrics(), indent=4),
                                     mimetype='application/json')
             elif path == '/profiler':
                 response = self._profiler_response(request)
