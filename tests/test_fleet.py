@@ -117,3 +117,20 @@ def test_fleet_adopts_prebuilt_detector_weights(mesh):
     leaf = jax.tree_util.tree_leaves(base.params)[0]
     fleet_leaf = jax.tree_util.tree_leaves(fleet.params)[0]
     np.testing.assert_array_equal(np.asarray(leaf), np.asarray(fleet_leaf))
+
+
+def test_fleet_shards_efficientdet(mesh):
+    """EfficientDet rides the same fleet path (the documented route for
+    Lite4's two-chip 32x30 requirement, BENCHMARKS.md): main passes the
+    prebuilt detector, the batch shards over the data axis."""
+    from watsor_tpu.models.efficientdet import build_effdet, lite_config
+    cfg = lite_config('lite0', num_classes=3, input_size=128,
+                      dtype=jnp.float32)
+    det = build_effdet(cfg)
+    fleet = FleetDetector(mesh, cfg, detector=det)
+    frames = np.zeros((8, 128, 128, 3), np.uint8)
+    out = fleet.detect(jnp.asarray(frames))
+    assert out.boxes.shape == (8, 100, 4)
+    backend = FleetBackend(fleet)
+    b, s, c, v, ms = backend.detect_batch(frames)
+    assert b.shape == (8, 100, 4)
