@@ -134,3 +134,24 @@ def test_fleet_shards_efficientdet(mesh):
     backend = FleetBackend(fleet)
     b, s, c, v, ms = backend.detect_batch(frames)
     assert b.shape == (8, 100, 4)
+
+
+def test_fleet_detections_match_single_device(mesh):
+    """Sharding the batch over the mesh must not change the math: fleet
+    detections equal the single-device detector's on identical weights
+    and frames (f32 so reduction order can't blur the comparison)."""
+    from watsor_tpu.models.ssd import build_detector
+    cfg = SSDConfig(num_classes=3, dtype=jnp.float32)
+    det = build_detector(cfg, rng=jax.random.PRNGKey(11))
+    fleet = FleetDetector(mesh, cfg, detector=det)
+    frames = np.random.default_rng(5).integers(
+        0, 255, (8, 300, 300, 3), np.uint8)
+    single = det.detect_batch(det.params, jnp.asarray(frames))
+    sharded = fleet.detect(jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(single.boxes),
+                               np.asarray(sharded.boxes),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(single.classes),
+                                  np.asarray(sharded.classes))
+    np.testing.assert_array_equal(np.asarray(single.valid),
+                                  np.asarray(sharded.valid))
