@@ -107,6 +107,29 @@ def test_mqtt_availability_and_states_flow(rig):
         and b'fps_in' in p, timeout=10)
 
 
+def test_per_stage_latency_percentiles_exported(rig):
+    """/metrics carries capture->stage latency percentiles for every
+    reporting stage (sieve always; encoder/mqtt when configured) — the
+    observability the north-star latency bound is audited with."""
+    url, broker, app = rig
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        metrics = json.loads(_get(url + '/metrics'))
+        cam = {c['name']: c for c in metrics['cameras']}['cam_a']
+        lat = cam.get('latency_ms', {})
+        if all(k in lat for k in ('sieve', 'encoder', 'mqtt')) and \
+                lat['sieve']['p50'] > 0 and lat['mqtt']['p50'] > 0:
+            break
+        time.sleep(1.0)
+    assert set(lat) >= {'sieve', 'encoder', 'mqtt'}, lat
+    for stage, values in lat.items():
+        assert values['p95'] >= values['p50'] >= 0, (stage, values)
+    assert 0 < lat['sieve']['p50'] < 2000, lat   # generous 1-core CI bound
+    # cam_b has no encoder: its entry must not fake one
+    cam_b = {c['name']: c for c in metrics['cameras']}['cam_b']
+    assert 'encoder' not in cam_b['latency_ms']
+
+
 def test_mqtt_fps_command_reaches_decoder(rig):
     url, broker, app = rig
     assert broker.wait_subscribed('watsor/cameras/cam_a/command', timeout=30)

@@ -42,6 +42,25 @@ class SyntheticDecoder(Artist):
         return True
 
 
+def make_synthetic_decoder(url, name, frame_queue, frame_buffer,
+                           stop_event=None, rate_limiter=None):
+    """Build the decoder for a ``synthetic://<kind>[?seed=N]`` input URL.
+
+    Kinds: ``shapes`` (per-frame drawing), ``loop`` (pre-rendered cycle),
+    ``static`` (ONE pre-rendered frame repeated — the deterministic source
+    for application-level equality tests). ``seed`` pins the artist RNG so
+    two application runs draw identical content."""
+    from urllib.parse import parse_qs
+
+    kind, _, query = url[len('synthetic://'):].partition('?')
+    params = parse_qs(query)
+    seed = int(params['seed'][0]) if 'seed' in params else None
+    cls = {'loop': LoopDecoder, 'static': StaticDecoder}.get(
+        kind, SyntheticDecoder)
+    return cls(name, frame_queue, frame_buffer, stop_event=stop_event,
+               seed=seed, rate_limiter=rate_limiter)
+
+
 class LoopDecoder(SyntheticDecoder):
     """``synthetic://loop``: pre-rendered drifting-shape frames cycled by
     copy — per-frame host cost is two memcpys (image + detect plane), so
@@ -104,3 +123,13 @@ class LoopDecoder(SyntheticDecoder):
         frame.stamp()
         self.fps(True)
         return True
+
+
+class StaticDecoder(LoopDecoder):
+    """``synthetic://static``: one pre-rendered seeded frame repeated
+    forever. Every frame carries identical pixels, so any two application
+    runs over the same seed are comparable detection-for-detection — the
+    determinism the fleet-vs-single-device application equality test needs
+    (tests/test_fleet_app.py)."""
+
+    SEQUENCE = 1

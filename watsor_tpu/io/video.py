@@ -18,12 +18,14 @@ event, 'ON' clears it and the watchdog resurrects it
 
 import logging
 import os
+from time import time
 
 import numpy as np
 
 from watsor_tpu.io import native
 from watsor_tpu.runtime.frames import FrameBuffer
-from watsor_tpu.runtime.meters import FramesPerSecond, RateLimiter
+from watsor_tpu.runtime.meters import FramesPerSecond, LatencyMeter, \
+    RateLimiter
 from watsor_tpu.runtime.tasks import Payload, ReadDetectPublish, WorkPublish
 from watsor_tpu.runtime.channel import Publish
 
@@ -665,6 +667,8 @@ class VideoEncoder(WorkPublish, Publish):
         self.ts_ring = MpegTSRing() if broadcast else None
         self._ts_last_index = -1
         self.fps = FramesPerSecond()
+        # frame capture -> encoded, sliding percentiles (/metrics)
+        self.latency = LatencyMeter()
         WorkPublish.__init__(self, name, frame_queue, frame_buffer, stop_event)
         Publish.__init__(self)
 
@@ -723,6 +727,7 @@ class VideoEncoder(WorkPublish, Publish):
                 self._ts_encoder.write(image)
                 self._pump_ts()
             self.fps(True)
+            self.latency((time() - frame.epoch) * 1000.0)
         except IOError:
             self._logger.exception('Encode error on %s', self.name)
             self.stop_event.set()

@@ -103,6 +103,7 @@ class Application:
         self._http_server = None
         self._http_config = {}
         self._jpeg_caches = {}
+        self._profiler_lock = threading.Lock()
         self._camera_tables = {}
         self._zone_refiners = {}
         # injectable for tests: device -> DetectorBackend (the reference's
@@ -181,11 +182,10 @@ class Application:
                         buffer_in, rate_limiter):
         url = camera_config['input']
         if url.startswith('synthetic://'):
-            from watsor_tpu.io.synthetic import LoopDecoder, SyntheticDecoder
-            cls = LoopDecoder if url == 'synthetic://loop' \
-                else SyntheticDecoder
-            return cls(camera_name, frame_queue, buffer_in,
-                       rate_limiter=rate_limiter)
+            from watsor_tpu.io.synthetic import make_synthetic_decoder
+            return make_synthetic_decoder(url, camera_name, frame_queue,
+                                          buffer_in,
+                                          rate_limiter=rate_limiter)
         from watsor_tpu.io.video import VideoDecoder, decoder_args_from_argv
         args = decoder_args_from_argv(camera_config['ffmpeg']['decoder'])
         if args.unknown:
@@ -309,9 +309,21 @@ class Application:
             # watched classes across cameras (e.g. 2 instead of 90)
             model_name, watched, nms_mode = detector_spec_from_config(
                 config, self._args)
+            # the reference's TRT_FLOAT_PRECISION=32|16 env knob
+            # (/root/reference/watsor/main_for_gpu.py:17-26) selects the
+            # activation dtype here too, matching the warmup CLI's -p
+            dtype = None
+            precision = os.environ.get('TRT_FLOAT_PRECISION')
+            if precision:
+                import jax.numpy as jnp
+                dtype = {'32': jnp.float32, '16': jnp.bfloat16}.get(precision)
+                if dtype is None:
+                    raise SystemExit(
+                        'TRT_FLOAT_PRECISION must be 32 or 16, got {!r}'
+                        .format(precision))
             detector = build_from_zoo(model_name, self._args.model_path,
                                       active_labels=watched,
-                                      nms_mode=nms_mode)
+                                      nms_mode=nms_mode, dtype=dtype)
             quantize_mode = os.environ.get('WATSOR_QUANTIZE')
             if quantize_mode == 'int8' and model_name.startswith('ssd_'):
                 # int8 weights in HBM, dequant fused into the step (the
@@ -464,12 +476,22 @@ class Application:
                 fps['encoder'] = round(c.encoder.fps.fps, 1)
             if c.mqtt is not None:
                 fps['mqtt'] = round(c.mqtt.fps.fps, 1)
+            latency = {'sieve': {'p50': round(c.sieve.latency.p50, 1),
+                                 'p95': round(c.sieve.latency.p95, 1)}}
+            if c.encoder is not None:
+                latency['encoder'] = {
+                    'p50': round(c.encoder.latency.p50, 1),
+                    'p95': round(c.encoder.latency.p95, 1)}
+            if c.mqtt is not None:
+                latency['mqtt'] = {'p50': round(c.mqtt.latency.p50, 1),
+                                   'p95': round(c.mqtt.latency.p95, 1)}
             cameras.append({
                 'name': c.name,
                 'fps': fps,
                 'buffer_in': round(c.buffer_in.fullness * 100),
                 'buffer_out': round(c.buffer_out.fullness * 100),
                 'latency_ms_p50': round(c.sieve.latency.p50, 1),
+                'latency_ms': latency,
             })
         detectors = []
         for d in self._detectors:
@@ -544,11 +566,22 @@ class Application:
             response = Response('Internal error', status=500)
         return response(environ, start_response)
 
+    # keep at most this many capture directories; older ones are pruned so
+    # repeated captures cannot grow the log volume without bound
+    _PROFILER_KEEP = 8
+
     def _profiler_response(self, request):
         """GET /profiler?seconds=N — capture a JAX device trace (XLA ops,
         transfers, fusion timing) viewable in TensorBoard/Perfetto. The
         reference has no tracer (SURVEY.md §5); this surfaces the per-stage
-        device timing the FPS meters can't see."""
+        device timing the FPS meters can't see.
+
+        Single-flight: jax.profiler supports one active trace per process,
+        and each capture blocks a werkzeug worker for up to 10 s, so a
+        second concurrent request is answered 409 instead of crashing the
+        first capture."""
+        import glob
+        import shutil
         import tempfile
         import time as time_module
 
@@ -556,15 +589,26 @@ class Application:
 
         import jax
 
-        seconds = min(float(request.args.get('seconds', 2)), 10.0)
-        trace_dir = os.path.join(self._args.log_path or tempfile.gettempdir(),
-                                 'watsor-trace-{}'.format(int(time_module.time())))
-        jax.profiler.start_trace(trace_dir)
-        time_module.sleep(seconds)
-        jax.profiler.stop_trace()
-        return Response(json.dumps({'trace_dir': trace_dir,
-                                    'seconds': seconds}),
-                        mimetype='application/json')
+        if not self._profiler_lock.acquire(blocking=False):
+            return Response(
+                json.dumps({'error': 'profiler capture already in progress'}),
+                status=409, mimetype='application/json')
+        try:
+            seconds = min(float(request.args.get('seconds', 2)), 10.0)
+            base = self._args.log_path or tempfile.gettempdir()
+            trace_dir = os.path.join(
+                base, 'watsor-trace-{}'.format(int(time_module.time())))
+            jax.profiler.start_trace(trace_dir)
+            time_module.sleep(seconds)
+            jax.profiler.stop_trace()
+            stale = sorted(glob.glob(os.path.join(base, 'watsor-trace-*')))
+            for old in stale[:-self._PROFILER_KEEP]:
+                shutil.rmtree(old, ignore_errors=True)
+            return Response(json.dumps({'trace_dir': trace_dir,
+                                        'seconds': seconds}),
+                            mimetype='application/json')
+        finally:
+            self._profiler_lock.release()
 
     def _snapshot_response(self, path):
         from werkzeug.wrappers import Response

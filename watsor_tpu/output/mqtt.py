@@ -29,7 +29,7 @@ from time import monotonic, time
 
 from watsor_tpu.config.coco import get_coco_class
 from watsor_tpu.output.mqtt_client import MqttClient, MqttError
-from watsor_tpu.runtime.meters import FramesPerSecond
+from watsor_tpu.runtime.meters import FramesPerSecond, LatencyMeter
 from watsor_tpu.runtime.tasks import WorkPublish
 
 STATE_OFF_DELAY_SECONDS = 10.0
@@ -54,6 +54,8 @@ class MQTT(WorkPublish):
         self._last_seen = {c: 0.0 for c in class_names}
         self._reported_on = {c: False for c in class_names}
         self.fps = FramesPerSecond()
+        # frame capture -> MQTT report, sliding percentiles (/metrics)
+        self.latency = LatencyMeter()
         # reconnect backoff state (session resilience)
         self._next_attempt = 0.0
         self._backoff = 1.0
@@ -166,6 +168,7 @@ class MQTT(WorkPublish):
         finally:
             frame.latch.next()
         self.fps(True)
+        self.latency((time() - epoch) * 1000.0)
         if not self._ensure_connected():
             return
         now = time()
