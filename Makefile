@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: all native test coverage bench package image clean
+.PHONY: all native test test-fast coverage bench package image clean
 
 all: native
 
@@ -11,6 +11,11 @@ native:
 
 test: native
 	$(PYTHON) -m pytest tests/ -x -q
+
+# the sub-5-minute single-core loop: everything not marked `slow`
+# (slow = big CPU compiles, soaks, multi-minute app rigs)
+test-fast: native
+	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
 
 coverage: native
 	$(PYTHON) -m pytest tests/ -q --cov=watsor_tpu --cov-report=term-missing \

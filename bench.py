@@ -117,6 +117,21 @@ def main():
         "h2d_ms": round(h2d_ms, 1),
         "device": str(device),
     }
+
+    # roofline/MFU accounting: XLA cost analysis of the exact compiled
+    # program x the measured rate (watsor_tpu/roofline.py; the full
+    # 9-model table lives in BENCHMARKS.md via scripts/roofline.py)
+    from watsor_tpu.roofline import roofline_row, step_cost
+    flops, hbm_bytes = step_cost(step, params, buffers[0])
+    if flops or hbm_bytes:
+        row = roofline_row('ssd_mobilenet_v2', BATCH,
+                           BATCH * 1000.0 / device_fps, flops, hbm_bytes,
+                           device)
+        for key in ('gflops_per_frame', 'achieved_tflops', 'pct_peak_flops',
+                    'hbm_mb_per_frame', 'achieved_gbps', 'pct_peak_bw',
+                    'arithmetic_intensity', 'bound', 'pct_speed_of_light'):
+            if key in row:
+                result[key] = row[key]
     print(json.dumps(result))
 
 

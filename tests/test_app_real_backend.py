@@ -19,6 +19,11 @@ import urllib.request
 
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 from watsor_tpu.main import Application, _parse_commandline_arguments
 
 CONFIG = """

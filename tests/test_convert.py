@@ -6,6 +6,11 @@ hard-part 5)."""
 import numpy as np
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 tf = pytest.importorskip('tensorflow')
 
 import jax.numpy as jnp

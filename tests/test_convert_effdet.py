@@ -14,6 +14,11 @@ graph must reproduce its outputs.
 import numpy as np
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 tf = pytest.importorskip('tensorflow')
 
 import jax.numpy as jnp  # noqa: E402

@@ -15,6 +15,11 @@ semantics incl. the avg-pool divisor, stride-2 padding, extras, heads).
 import numpy as np
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 tf = pytest.importorskip('tensorflow')
 
 import jax.numpy as jnp  # noqa: E402

@@ -10,6 +10,11 @@ import tarfile
 import numpy as np
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 from watsor_tpu.models.fetch import (REGISTRY, FetchError, _safe_extract,
                                      fetch, main, sha256_file)
 

@@ -22,8 +22,10 @@ from watsor_tpu.runtime.frames import FrameBuffer
 TINY = SSDConfig(num_classes=3, input_size=96, width_multiplier=0.35,
                  extra_features=(32, 32, 32, 32), dtype=jnp.float32)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason='needs 8 virtual devices')
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason='needs 8 virtual devices'),
+              # timed >30 s on the 1-core CI host; not in `make test-fast`
+              pytest.mark.slow]
 
 
 @pytest.fixture(scope='module')

@@ -3,6 +3,11 @@
 import numpy as np
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 import jax
 import jax.numpy as jnp
 

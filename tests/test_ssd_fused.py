@@ -7,6 +7,11 @@ must stay correct."""
 import numpy as np
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 import jax.numpy as jnp
 
 from watsor_tpu.models.ssd import SSDConfig, build_detector

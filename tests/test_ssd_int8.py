@@ -5,6 +5,11 @@ end-to-end detect contract holds."""
 import numpy as np
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 import jax.numpy as jnp
 
 from watsor_tpu.models.ssd import SSDConfig, build_detector

@@ -1,6 +1,13 @@
 """The generic training step drives the EfficientDet family too (anchors +
 box-coder scales swapped in)."""
 
+import pytest
+
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 
 import jax

@@ -5,6 +5,11 @@ reference's TRT engine build (/root/reference/watsor/engine.py), whose
 import jax.numpy as jnp
 import pytest
 
+# timed >30 s on the 1-core CI host (big CPU compiles / TF rigs);
+# excluded from `make test-fast`
+pytestmark = pytest.mark.slow
+
+
 from watsor_tpu.models import zoo
 from watsor_tpu.models.ssd import SSDConfig, build_detector
 from watsor_tpu.models.zoo import build_from_zoo
