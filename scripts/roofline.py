@@ -19,8 +19,7 @@ from time import perf_counter
 
 import numpy as np
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(
-    __file__ if '__file__' in dir() else 'scripts/roofline.py')))
+REPO = '/root/repo'
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 

@@ -278,7 +278,11 @@ class EfficientDet(nn.Module):
             [b.reshape(B, -1, 4) for b in box_outputs], axis=1)
         logits = jnp.concatenate(
             [c.reshape(B, -1, num_cls) for c in cls_outputs], axis=1)
-        return boxes.astype(jnp.float32), logits.astype(jnp.float32)
+        # native dtype: at Lite4 scale the [B, 76725, 90] logits are 3% of
+        # the step's HBM bytes PER PASS — the f32 cast for external
+        # consumers (parity tests, converters, training) lives in
+        # build_effdet's raw_apply; the fused detect path keeps bf16
+        return boxes, logits
 
 
 def effdet_feature_shapes(cfg: EfficientDetConfig):
@@ -353,14 +357,19 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
                 f'belongs to a different model')
     anchors_dev = jnp.asarray(np.asarray(anchors, np.float32))
 
-    def raw_apply(p, images_f):
+    def raw_native(p, images_f):
         return model.apply(p, images_f, train=False)
+
+    def raw_apply(p, images_f):
+        """f32 raw outputs — the contract parity tests/converters rely on."""
+        b, l = raw_native(p, images_f)
+        return b.astype(jnp.float32), l.astype(jnp.float32)
 
     from watsor_tpu.models.ssd import make_detect_batch
     # class column i is 1-based label i+1; with an explicit background
     # column the label columns start at 1 instead of 0
     detect_batch = make_detect_batch(
-        cfg, anchors_dev, raw_apply,
+        cfg, anchors_dev, raw_native,
         lambda x: ((x - cfg.mean_rgb) / cfg.stddev_rgb).astype(cfg.dtype),
         background_offset=1 if cfg.explicit_background else 0)
 

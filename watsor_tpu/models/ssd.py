@@ -225,7 +225,13 @@ def make_detect_batch(cfg, anchors_dev, raw_apply, normalize,
                                 dtype=jnp.float32)
         x = normalize(x)
         box_enc, logits = raw_apply(p, x)
-        boxes = decode_boxes(box_enc, anchors_dev,
+        # boxes decode in f32 (pixel accuracy needs it; [B, A, 4] is
+        # small). ``logits`` may arrive in the model's native dtype —
+        # at EfficientDet-Lite4 scale the [B, 76725, 90] tensor is
+        # ~900 MB/step in f32 vs half that in bf16, and the NMS union
+        # top-k only needs ordering, which any dtype preserves of its
+        # own values. The tiny NMS outputs cast back to f32 below.
+        boxes = decode_boxes(box_enc.astype(jnp.float32), anchors_dev,
                              scales=cfg.box_coder_scales)
         if active is not None:
             # slice the head to the watched classes: the NMS class axis
@@ -243,6 +249,7 @@ def make_detect_batch(cfg, anchors_dev, raw_apply, normalize,
         if active is not None:
             # map compacted class indices back to 1-based COCO labels
             c = jnp.where(c > 0, active[jnp.maximum(c - 1, 0)], 0)
-        return DetectionsBatch(b, s, c, v)
+        return DetectionsBatch(b.astype(jnp.float32),
+                               s.astype(jnp.float32), c, v)
 
     return detect_batch

@@ -108,38 +108,50 @@ def pallas_suppress(top_boxes, top_scores, iou_threshold=0.6,
 
 
 # ---------------------------------------------------------------------------
-# Fixed-point suppression for the FUSED formulation (nms.py fused_exact):
+# Exact greedy suppression for the FUSED formulation (nms.py fused_exact):
 # the XLA while_loop pays a kernel relaunch + HBM round trip of the keep
-# tensor per Jacobi iteration; here the whole iteration runs VMEM-resident
-# per image — scores [C, M], one shared overlap matrix [M, M], keep [C, M]
-# — and the lax.while_loop lives INSIDE the kernel.
+# tensor per Jacobi iteration; here the whole suppression runs VMEM-resident
+# per image — scores [C, M], one shared overlap matrix [M, M], keep [C, M].
+# Formulated as a SELECTION-greedy fori_loop (this rig's Mosaic compile
+# helper rejects in-kernel while_loops — BENCHMARKS.md): iteration t picks,
+# per class, the highest-scored still-available candidate (lowest index on
+# ties — the Jacobi relation's tie-break), keeps it, and retires its
+# overlap row, extracted without dynamic lane indexing by a one-hot matmul
+# against the shared [M, M] overlap matrix. Classic greedy processes
+# candidates in exactly this order, so M bounded iterations produce the
+# greedy solution — bit-identical to the XLA Jacobi fixed point
+# (tests/test_nms_fixed_point_kernel.py).
 # ---------------------------------------------------------------------------
 
+_NEG = -3.0e38                    # "retired" sentinel, far below any score
 
-def _fixed_point_kernel(thr_ref, s_ref, iou_ref, keep_ref):
-    s = s_ref[0]                                    # [C, M]
-    M = s.shape[-1]
-    overlap = (iou_ref[0] > thr_ref[0])             # [M, M]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-    jdx = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-    tie = idx < jdx
-    higher = (s[:, :, None] > s[:, None, :]) | \
-        ((s[:, :, None] == s[:, None, :]) & tie[None])
-    sup = higher & overlap[None]                    # [C, M, M]
 
-    def cond(state):
-        _, changed = state
-        return changed
+def _fixed_point_kernel(thr_ref, s_ref, iou_ref, keep_ref, avail_ref):
+    s = s_ref[0]                                    # [cc, M]
+    cc, M = s.shape
+    overlap = (iou_ref[0] > thr_ref[0]).astype(jnp.float32)   # [M, M]
+    avail_ref[:, :] = s
+    keep_ref[0] = jnp.zeros_like(s)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cc, M), 1)
 
-    def body(state):
-        keep, _ = state
-        suppressed = jnp.any(sup & keep[:, :, None], axis=1)
-        new_keep = ~suppressed
-        return new_keep, jnp.any(new_keep != keep)
+    def body(t, carry):
+        avail = avail_ref[:, :]
+        best = jnp.max(avail, axis=-1, keepdims=True)         # [cc, 1]
+        # every class still holding a live candidate picks its argmax
+        # (first index among equals); exhausted classes pick nothing
+        is_best = (avail == best) & (best > _NEG * 0.5)
+        pick = jnp.min(jnp.where(is_best, col, M), axis=-1,
+                       keepdims=True)                         # [cc, 1]
+        onehot = (col == pick).astype(jnp.float32)            # [cc, M]
+        keep_ref[0] = keep_ref[0] + onehot
+        # the picked candidates' overlap rows, one tiny MXU op
+        row = jnp.dot(onehot, overlap,
+                      preferred_element_type=jnp.float32)     # [cc, M]
+        avail_ref[:, :] = jnp.where((row > 0.5) | (onehot > 0.5),
+                                    _NEG, avail)
+        return carry
 
-    keep0 = jnp.ones(s.shape, dtype=bool)
-    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.bool_(True)))
-    keep_ref[0] = keep.astype(jnp.float32)
+    jax.lax.fori_loop(0, M, body, 0)
 
 
 @partial(jax.jit, static_argnames=('interpret',))
@@ -178,6 +190,9 @@ def fixed_point_suppress(scores_cm, iou, iou_threshold=0.6,
         ],
         out_specs=pl.BlockSpec((1, cc, M), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cc, M), jnp.float32),      # still-available scores
+        ],
         interpret=interpret,
     )(thr, scores_cm, iou)
     return keep[:, :C] > 0.5
