@@ -111,10 +111,27 @@ def main(argv):
         box_enc = jax.device_put(
             rng.uniform(-1, 1, (BATCH, A, 4)).astype(np.float32), device)
         logits = jax.device_put(
-            rng.uniform(-6, 1, (BATCH, A, C)).astype(np.float32), device)
+            jnp.asarray(rng.uniform(-6, 1, (BATCH, A, C)).astype(
+                np.float32)).astype(jnp.bfloat16), device)  # production dtype
+
+        # the exact post program production runs (make_detect_batch):
+        # fused modes take the late-materialization path (union by raw
+        # max logit, decode+sigmoid only the M survivors)
+        from watsor_tpu.ops.nms import batched_class_aware_nms_fused_late
+        fused_suppression = {'fused': 'fast', 'fused_exact': 'greedy',
+                             'fused_exact_pallas': 'greedy_pallas'} \
+            .get(cfg.nms_mode)
 
         @jax.jit
         def post(box_enc, logits):
+            if fused_suppression is not None:
+                return batched_class_aware_nms_fused_late(
+                    box_enc, logits, anchors_dev,
+                    scales=tuple(cfg.box_coder_scales),
+                    iou_threshold=cfg.iou_threshold,
+                    score_threshold=cfg.score_threshold,
+                    max_detections=cfg.max_detections,
+                    suppression=fused_suppression)
             boxes = decode_boxes(box_enc, anchors_dev,
                                  scales=cfg.box_coder_scales)
             scores = jax.nn.sigmoid(logits)

@@ -22,7 +22,8 @@ from watsor_tpu.models.mobilenet_v2 import MobileNetV2Backbone, ConvBNRelu6
 from watsor_tpu.ops.anchors import AnchorSpec, anchors_per_location, \
     ssd300_feature_shapes, ssd_anchors
 from watsor_tpu.ops.boxes import decode_boxes
-from watsor_tpu.ops.nms import batched_class_aware_nms
+from watsor_tpu.ops.nms import (batched_class_aware_nms,
+                                batched_class_aware_nms_fused_late)
 from watsor_tpu.ops.preprocess import resize_bilinear_mxu
 
 
@@ -219,33 +220,52 @@ def make_detect_batch(cfg, anchors_dev, raw_apply, normalize,
     (offset 0) unless ``explicit_background``."""
     active = active_label_array(cfg)
 
+    fused_suppression = {'fused': 'fast', 'fused_exact': 'greedy',
+                         'fused_exact_pallas': 'greedy_pallas'} \
+        .get(cfg.nms_mode)
+
     @jax.jit
     def detect_batch(p, images_u8):
         x = resize_bilinear_mxu(images_u8, cfg.input_size, cfg.input_size,
                                 dtype=jnp.float32)
         x = normalize(x)
         box_enc, logits = raw_apply(p, x)
-        # boxes decode in f32 (pixel accuracy needs it; [B, A, 4] is
-        # small). ``logits`` may arrive in the model's native dtype —
-        # at EfficientDet-Lite4 scale the [B, 76725, 90] tensor is
-        # ~900 MB/step in f32 vs half that in bf16, and the NMS union
-        # top-k only needs ordering, which any dtype preserves of its
-        # own values. The tiny NMS outputs cast back to f32 below.
-        boxes = decode_boxes(box_enc.astype(jnp.float32), anchors_dev,
-                             scales=cfg.box_coder_scales)
+        # ``logits`` may arrive in the model's native dtype — at
+        # EfficientDet-Lite4 scale the [B, 76725, 90] tensor is ~900
+        # MB/step in f32 vs half that in bf16, and the NMS union top-k
+        # only needs ordering, which any dtype preserves of its own
+        # values. The tiny NMS outputs cast back to f32 below.
         if active is not None:
             # slice the head to the watched classes: the NMS class axis
             # shrinks from num_classes to len(active)
-            scores = jax.nn.sigmoid(
-                logits[..., active - 1 + background_offset])
+            cls_logits = logits[..., active - 1 + background_offset]
         else:
-            scores = jax.nn.sigmoid(logits[..., background_offset:])
-        b, s, c, v = batched_class_aware_nms(
-            boxes, scores,
-            iou_threshold=cfg.iou_threshold,
-            score_threshold=cfg.score_threshold,
-            max_detections=cfg.max_detections,
-            mode=cfg.nms_mode)
+            cls_logits = logits[..., background_offset:]
+        if fused_suppression is not None:
+            # late materialization: rank the candidate union on raw
+            # max-class logits (sigmoid is monotonic), then decode +
+            # sigmoid only the M=128 survivors — never builds the full
+            # [B, A, 4] f32 box tensor or [B, A, C] score tensor.
+            # Bitwise-identical outputs (decode/sigmoid are elementwise).
+            b, s, c, v = batched_class_aware_nms_fused_late(
+                box_enc, cls_logits, anchors_dev,
+                scales=tuple(cfg.box_coder_scales),
+                iou_threshold=cfg.iou_threshold,
+                score_threshold=cfg.score_threshold,
+                max_detections=cfg.max_detections,
+                suppression=fused_suppression)
+        else:
+            # classic per-class formulations need every anchor decoded
+            # (boxes in f32 — pixel accuracy needs it; [B, A, 4] is small)
+            boxes = decode_boxes(box_enc.astype(jnp.float32), anchors_dev,
+                                 scales=cfg.box_coder_scales)
+            scores = jax.nn.sigmoid(cls_logits)
+            b, s, c, v = batched_class_aware_nms(
+                boxes, scores,
+                iou_threshold=cfg.iou_threshold,
+                score_threshold=cfg.score_threshold,
+                max_detections=cfg.max_detections,
+                mode=cfg.nms_mode)
         if active is not None:
             # map compacted class indices back to 1-based COCO labels
             c = jnp.where(c > 0, active[jnp.maximum(c - 1, 0)], 0)

@@ -109,6 +109,68 @@ def batched_class_aware_nms_fused(boxes, scores,
     union_scores = jnp.take_along_axis(scores, union_idx[..., None], axis=1)
     # -> [B, M, C] ; transpose to class-major for the suppression broadcast
     s = jnp.transpose(union_scores, (0, 2, 1))               # [B, C, M]
+    return _fused_suppress_merge(union_boxes, s, iou_threshold,
+                                 score_threshold, max_detections,
+                                 suppression)
+
+
+@partial(jax.jit, static_argnames=('scales', 'max_detections', 'union_m',
+                                   'suppression'))
+def batched_class_aware_nms_fused_late(box_enc, logits, anchors,
+                                       scales,
+                                       iou_threshold=0.6,
+                                       score_threshold=0.005,
+                                       max_detections=100,
+                                       union_m=128,
+                                       suppression='fast'):
+    """:func:`batched_class_aware_nms_fused` with LATE materialization.
+
+    Identical results, radically less HBM traffic at EfficientDet scale:
+    instead of decoding all A anchors ([B, A, 4] f32) and materializing
+    the full sigmoid score tensor ([B, A, C]) only for the union top-k to
+    discard all but M=128 rows, this variant ranks the union on the raw
+    max-class LOGIT (sigmoid is monotonic, so the top-M set and its
+    tie-break order are the same), then gathers the M surviving rows of
+    ``box_enc``/``logits``/``anchors`` and runs decode + sigmoid on
+    [B, M, ...] shapes. decode/sigmoid are elementwise, so op-then-gather
+    and gather-then-op produce bitwise-identical values; every downstream
+    number matches the eager formulation. At Lite4 scale
+    (A=76,725 × C=91) this removes ~2 GB of per-step intermediate traffic
+    from the post stage.
+
+    Args:
+      box_enc: [B, A, 4] raw box regression (any float dtype).
+      logits:  [B, A, C] pre-sigmoid class logits, background removed.
+      anchors: [A, 4] ymin/xmin/ymax/xmax anchor table.
+      scales:  box-coder scale 4-tuple (static).
+    """
+    from watsor_tpu.ops.boxes import decode_boxes
+
+    B, A, C = logits.shape
+    M = min(union_m, A)
+
+    best_logit = jnp.max(logits, axis=-1)                    # [B, A]
+    _, union_idx = jax.lax.top_k(best_logit, M)              # [B, M]
+    union_enc = jnp.take_along_axis(box_enc, union_idx[..., None], axis=1)
+    union_logits = jnp.take_along_axis(logits, union_idx[..., None], axis=1)
+    union_anchors = jnp.take(anchors, union_idx, axis=0)     # [B, M, 4]
+    union_boxes = decode_boxes(union_enc.astype(jnp.float32),
+                               union_anchors, scales=scales)
+    # sigmoid in f32: [B, M, C] is tiny, and f32 scores keep suppression
+    # ties/thresholds at full precision even when the logits are bf16
+    # (bf16 sigmoid would collide distinct logits into equal scores)
+    s = jnp.transpose(
+        jax.nn.sigmoid(union_logits.astype(jnp.float32)), (0, 2, 1))
+    return _fused_suppress_merge(union_boxes, s, iou_threshold,
+                                 score_threshold, max_detections,
+                                 suppression)
+
+
+def _fused_suppress_merge(union_boxes, s, iou_threshold, score_threshold,
+                          max_detections, suppression):
+    """Steps 2-4 of the fused NMS: suppression over the candidate union
+    ([B, M, 4] boxes, [B, C, M] class-major scores) and the class merge."""
+    B, C, M = s.shape
 
     # 2. one shared IoU matrix
     iou = iou_matrix(union_boxes, union_boxes)               # [B, M, M]
