@@ -92,6 +92,10 @@ class EfficientDetConfig(NamedTuple):
     nms_mode: str = 'fused'
     active_labels: Any = None      # restrict post-processing (see SSDConfig)
     dtype: Any = jnp.bfloat16
+    # space-to-depth entry packing (ops/packed_conv.py): 'stem' feeds the
+    # stem conv its input packed ([S/2,S/2,12] instead of the 128-lane-
+    # padded [S,S,3]); 'early' (measured, rejected — see EfficientNetLite)
+    packing: str = 'none'
 
     @property
     def num_levels(self):
@@ -250,6 +254,7 @@ class EfficientDet(nn.Module):
     def __call__(self, images, train=False):
         cfg = self.config
         c3, c4, c5 = EfficientNetLite(cfg.variant, dtype=cfg.dtype,
+                                      packing=cfg.packing,
                                       name='backbone')(images, train)
         # P6 = pool(1x1 conv+BN of C5); P7 = pool(P6) — the automl
         # resample_p6/resample_p7 pair (p7 has no weights)
