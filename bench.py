@@ -107,7 +107,7 @@ def main():
 
     result = {
         "metric": "ssd_mobilenet_v2_300 fused detect step (forward+decode+"
-                  "NMS), batch 32, 1 chip, device-resident",
+                  "NMS), batch %d, 1 chip, device-resident" % BATCH,
         "value": round(device_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(device_fps / BASELINE_FPS, 2),
@@ -117,6 +117,19 @@ def main():
         "h2d_ms": round(h2d_ms, 1),
         "device": str(device),
     }
+
+    # optional tamper-proof cross-check (BENCH_CHAINED=1): re-time the
+    # same step with the chained harness (watsor_tpu/timing.py) that the
+    # tunnel's early-readiness/replay cannot fool. Off by default — it
+    # costs one extra compile; the standing validation lives in
+    # TIMING_VALIDATION.jsonl (BENCHMARKS.md "Timing methodology").
+    if os.environ.get('BENCH_CHAINED'):
+        from watsor_tpu.timing import chained_step_ms, chained_model_runner
+        _log('bench: chained cross-check (1 extra compile)')
+        chained_ms, _detail = chained_step_ms(
+            chained_model_runner(step, params, BATCH, 300))
+        result['chained_ms_per_step'] = round(chained_ms, 2)
+        result['chained_fps'] = round(BATCH * 1000.0 / chained_ms, 1)
 
     # roofline/MFU accounting: XLA cost analysis of the exact compiled
     # program x the measured rate (watsor_tpu/roofline.py; the full

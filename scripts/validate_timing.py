@@ -1,0 +1,75 @@
+"""Validate the repo's published step times against a harness the
+axon tunnel cannot fool (watsor_tpu/timing.py: data-chained fori_loop,
+fresh on-device input per call, scalar fetch, loop-length differencing).
+
+Round-3 discovery: on this rig ``jax.block_until_ready`` can return
+before the device has executed (a later fetch stalls), and repeated
+identical (program, input) dispatches can be replayed in ~0.2 ms
+instead of re-executed.  bench.py and the profile scripts use
+back-to-back dispatch loops, so this script re-times the SAME programs
+with the hardened harness and appends the result to
+TIMING_VALIDATION.jsonl for cross-checking BENCHMARKS.md.
+
+    cd /root/repo && timeout 560 python -u - < scripts/validate_timing.py
+
+Env: VALIDATE_MODELS=ssd_mobilenet_v2,efficientdet_lite4 BENCH_BATCH=32
+     N_SHORT=2 N_LONG=12
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = '/root/repo'
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+BATCH = int(os.environ.get('BENCH_BATCH', 32))
+N_SHORT = int(os.environ.get('N_SHORT', 2))
+N_LONG = int(os.environ.get('N_LONG', 32))
+MODELS = os.environ.get('VALIDATE_MODELS',
+                        'ssd_mobilenet_v2,efficientdet_lite4').split(',')
+
+
+def main():
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO, '.jit_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
+    from watsor_tpu.models.zoo import build_from_zoo
+    from watsor_tpu.timing import chained_step_ms, chained_model_runner
+
+    device = jax.devices()[0]
+    results = {'batch': BATCH, 'n_short': N_SHORT, 'n_long': N_LONG,
+               'harness': 'chained+fresh-seed', 'models': {}}
+
+    for name in MODELS:
+        det = build_from_zoo(name)
+        size = det.config.input_size
+        params = jax.device_put(det.params, device)
+        step = det.detect_batch
+
+        ms, detail = chained_step_ms(
+            chained_model_runner(step, params, BATCH, size),
+            n_short=N_SHORT, n_long=N_LONG,
+            log=lambda m: print('%s %s' % (name, m), file=sys.stderr,
+                                flush=True))
+        row = {'chained_ms_per_step': round(ms, 2),
+               'fps': round(BATCH * 1000.0 / ms, 1)}
+        row.update(detail)
+        results['models'][name] = row
+        print(name, json.dumps(row), file=sys.stderr, flush=True)
+        # append per model so a timeout still records completed rows
+        with open(os.path.join(REPO, 'TIMING_VALIDATION.jsonl'), 'a') as fh:
+            fh.write(json.dumps({'batch': BATCH,
+                                 'harness': 'chained+fresh-seed',
+                                 'model': name, **row}) + '\n')
+
+    print(json.dumps(results), flush=True)
+
+
+main()
