@@ -13,7 +13,7 @@ TIMING_VALIDATION.jsonl for cross-checking BENCHMARKS.md.
     cd /root/repo && timeout 560 python -u - < scripts/validate_timing.py
 
 Env: VALIDATE_MODELS=ssd_mobilenet_v2,efficientdet_lite4 BENCH_BATCH=32
-     N_SHORT=2 N_LONG=12
+     N_SHORT=2 N_LONG=32
 """
 
 import json
