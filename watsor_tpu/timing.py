@@ -76,16 +76,19 @@ def chained_step_ms(run, n_short=2, n_long=32, reps=5,
 
 def chained_model_runner(step, params, batch, size):
     """Standard ``run(seed, n)`` for a detector ``detect_batch`` step:
-    uint8 [batch, size, size, 3] input from the seed, chain via a zero
-    scalar derived from each step's scores, dynamic loop bound."""
+    uint8 [batch, H, W, 3] input from the seed (``size`` is an int for
+    square inputs or an (H, W) tuple), chain via a zero scalar derived
+    from each step's scores, dynamic loop bound."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    h, w = (size, size) if isinstance(size, int) else size
+
     @jax.jit
     def run(seed, n):
         key = jax.random.PRNGKey(seed)
-        img0 = jax.random.randint(key, (batch, size, size, 3), 0, 255,
+        img0 = jax.random.randint(key, (batch, h, w, 3), 0, 255,
                                   dtype=jnp.uint8)
 
         def body(i, carry):
