@@ -51,6 +51,21 @@ def test_chained_model_runner_executes_n_chained_steps():
     assert a5 == pytest.approx(5.0 * a1, rel=1e-6)
 
 
+def test_chained_model_runner_nonsquare_input():
+    # production-1080p re-pin uses (H, W) tuples
+    batch, hw = 2, (6, 10)
+    seen = {}
+
+    def step(params, img):
+        seen['shape'] = img.shape
+        s = jnp.sum(img.astype(jnp.float32), axis=(1, 2, 3))
+        return None, jnp.broadcast_to(s[:, None], (batch, 4)), None, None
+
+    run = chained_model_runner(step, jnp.float32(0), batch, hw)
+    assert np.isfinite(float(run(3, 2)))
+    assert seen['shape'] == (batch, 6, 10, 3)
+
+
 def test_chained_model_runner_fresh_seed_changes_input():
     batch, size = 2, 8
 
