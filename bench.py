@@ -16,6 +16,12 @@ Baseline: the reference's single hardware accelerator (EdgeTPU / CUDA TRT)
 sustains ~100-120 FPS on the same SSD task (README.md:455 — "5x" its ~24
 FPS desktop CPU); vs_baseline is computed against 120 FPS.
 
+The dispatch-loop number reported here is validated as a conservative
+under-estimate by the tamper-proof chained harness (watsor_tpu/timing.py,
+TIMING_VALIDATION.jsonl: 9,589 fps for this step; BENCHMARKS.md "Timing
+methodology"). Set BENCH_CHAINED=1 to append the chained cross-check to
+the JSON line (one extra compile).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
