@@ -14,6 +14,7 @@ in place (no separate result channel) and the latch is confirmed per frame,
 exactly as the reference's protocol requires.
 """
 
+import logging
 import threading
 
 from queue import Empty
@@ -244,7 +245,20 @@ def create_object_detectors(frame_queue_group, frame_buffers, backend_factory,
     """
     import jax
 
-    devices = [d for d in jax.devices() if d.platform == 'tpu']
+    try:
+        all_devices = jax.devices()
+    except RuntimeError as exc:
+        # the accelerator RUNTIME failed to initialize (e.g. an
+        # unavailable TPU tunnel) — serve on CPU rather than die, the
+        # reference's CPU-fallback contract (detector.py:48-50). The
+        # hang case is covered earlier by discovery.ensure_responsive_
+        # backend (init holds a global lock, so it cannot be caught here)
+        logging.getLogger(__name__).warning(
+            'Accelerator backend failed to initialize (%s) — '
+            'falling back to CPU', exc)
+        jax.config.update('jax_platforms', 'cpu')
+        all_devices = jax.devices()
+    devices = [d for d in all_devices if d.platform == 'tpu']
     if not devices:
         devices = jax.devices('cpu')[:1]
     assert len(devices) > 0, "No devices available for detection"

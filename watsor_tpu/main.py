@@ -685,6 +685,7 @@ class Application:
             pass  # not the main thread (embedded/test usage)
 
     def run(self):
+        init_logging(self._args.log_level, self._args.log_path)
         # Device-selection knob (the analog of the reference's
         # CORAL_VISIBLE_DEVICES / CUDA_VISIBLE_DEVICES env plumbing,
         # detection/devices.py): WATSOR_PLATFORM=cpu forces the CPU backend.
@@ -695,7 +696,13 @@ class Application:
                 jax.config.update('jax_platforms', platform)
             except Exception:
                 _LOGGER.warning('Could not select platform %r', platform)
-        init_logging(self._args.log_level, self._args.log_path)
+        else:
+            # no explicit choice: verify the accelerator runtime actually
+            # initializes before this process touches JAX (a hung backend
+            # init can never be recovered in-process — discovery.py)
+            from watsor_tpu.detection.discovery import \
+                ensure_responsive_backend
+            ensure_responsive_backend(logger=_LOGGER)
         self._install_signal_handler()
         config = self._read_config()
         # HTTP first: /health and /metrics must answer during the model
