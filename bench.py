@@ -46,6 +46,24 @@ def _log(msg):
 
 
 def main():
+    # a wedged accelerator runtime hangs jax.devices() forever (observed
+    # live, round 3); probe with a deadline so the bench fails fast with
+    # a self-explaining record instead of hanging the harness
+    from watsor_tpu.detection.discovery import _run_probe
+    probe_timeout = float(os.environ.get('BENCH_PROBE_TIMEOUT', 300))
+    if probe_timeout > 0:
+        ok, detail = _run_probe(
+            [sys.executable, '-c',
+             'import jax; print(jax.devices()[0].platform)'],
+            probe_timeout)
+        if not ok:
+            print(json.dumps({
+                "metric": "ssd_mobilenet_v2_300 fused detect step",
+                "value": 0, "unit": "frames/s", "vs_baseline": 0,
+                "error": "accelerator backend unavailable: %s" % detail,
+            }))
+            return 1
+
     import jax
     jax.config.update('jax_compilation_cache_dir', CACHE_DIR)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
