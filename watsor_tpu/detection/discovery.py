@@ -30,18 +30,39 @@ _PROBE_SRC = 'import jax; print(jax.devices()[0].platform)'
 
 
 def _run_probe(cmd, timeout_s):
-    """(ok, detail) for one subprocess probe run."""
+    """(ok, detail) for one subprocess probe run.
+
+    Output goes to a temp file, not pipes, and timeout kills the whole
+    process GROUP: a hung accelerator runtime can spawn helpers that
+    survive the child and hold a pipe open, which blocks the
+    pipe-draining wait of ``subprocess.run(capture_output=True)``
+    forever (observed live on the wedged-tunnel rig)."""
+    import signal
+    import tempfile
+
     try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return False, 'probe timed out after %.0fs (backend hang)' % timeout_s
+        with tempfile.TemporaryFile() as out:
+            proc = subprocess.Popen(cmd, stdout=out,
+                                    stderr=subprocess.STDOUT,
+                                    start_new_session=True)
+            try:
+                rc = proc.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    proc.kill()
+                proc.wait()
+                return False, ('probe timed out after %.0fs (backend hang)'
+                               % timeout_s)
+            out.seek(0)
+            text = out.read().decode('utf-8', errors='replace').strip()
     except OSError as exc:
         return False, 'probe could not run: %s' % exc
-    if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout or '').strip().splitlines()
-        return False, tail[-1] if tail else 'exit %d' % proc.returncode
-    return True, (proc.stdout or '').strip()
+    tail = text.splitlines()[-1] if text else ''
+    if rc != 0:
+        return False, tail or 'exit %d' % rc
+    return True, tail
 
 
 def ensure_responsive_backend(logger=None, timeout_s=None, _cmd=None,
