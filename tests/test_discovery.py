@@ -22,14 +22,27 @@ def test_explicit_platform_skips_probe(monkeypatch):
         _platforms='axon,cpu') is None
 
 
-def test_cpu_only_platforms_skip_probe(monkeypatch):
+def test_cpu_pinned_platforms_skip_probe(monkeypatch):
     monkeypatch.delenv('WATSOR_PLATFORM', raising=False)
     assert discovery.ensure_responsive_backend(
         _cmd=[sys.executable, '-c', 'raise SystemExit(1)'],
         _platforms='cpu') is None
-    assert discovery.ensure_responsive_backend(
+
+
+def test_auto_select_is_probed(monkeypatch):
+    """'' (auto-select) is the state a production container boots in — a
+    wedged runtime hangs auto-select exactly like an explicit choice, so
+    the probe must engage there too."""
+    monkeypatch.delenv('WATSOR_PLATFORM', raising=False)
+    pinned = {}
+    monkeypatch.setattr(jax.config, 'update',
+                        lambda k, v: pinned.setdefault(k, v))
+    out = discovery.ensure_responsive_backend(
+        timeout_s=30,
         _cmd=[sys.executable, '-c', 'raise SystemExit(1)'],
-        _platforms='') is None
+        _platforms='')
+    assert out == 'cpu'
+    assert pinned == {'jax_platforms': 'cpu'}
 
 
 def test_zero_timeout_disables(monkeypatch):

@@ -83,3 +83,17 @@ def test_lite_variant_scaling():
     from watsor_tpu.models.zoo import build_from_zoo
     det = build_from_zoo('efficientdet_lite1', dtype=jnp.float32)
     assert det.config.input_size == 384
+
+
+def test_bf16_model_classic_nms_scores_are_f32():
+    """A bf16 model routed through a CLASSIC (non-fused) NMS mode must not
+    leak bf16 into the suppression: the pallas kernel swaps into f32 refs
+    (bf16 crashed it at trace time) and exact/fast would quantize the
+    reported scores. Regression for the round-3 review finding."""
+    cfg = TINY._replace(dtype=jnp.bfloat16, nms_mode='exact')
+    det = build_effdet(cfg, rng=jax.random.PRNGKey(0))
+    frames = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3),
+                                              np.uint8)
+    out = det.detect_batch(det.params, jnp.asarray(frames))
+    assert out.scores.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out.scores)).all()

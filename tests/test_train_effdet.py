@@ -50,3 +50,28 @@ def test_effdet_train_step_decreases_loss():
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
     assert float(metrics['num_positive']) >= 1.0
+
+
+def test_effdet_train_step_bf16_model_losses_in_f32():
+    """Training a serving-dtype (bf16) model must still reduce losses in
+    f32 — focal/huber sums over ~A anchors collapse in an 8-bit mantissa.
+    Regression for the round-3 review finding."""
+    cfg = TINY._replace(dtype=jnp.bfloat16)
+    model = EfficientDet(cfg)
+    tx = make_optimizer(learning_rate=5e-3)
+    state = init_train_state(cfg, jax.random.PRNGKey(0), tx, model=model)
+    step = jax.jit(make_train_step(
+        cfg, tx, model=model, anchors=effdet_anchors(cfg),
+        box_coder_scales=cfg.box_coder_scales))
+    rng = np.random.RandomState(0)
+    batch = {
+        'images': jnp.asarray(rng.randint(0, 255, (2, 128, 128, 3),
+                                          np.uint8)),
+        'gt_boxes': jnp.asarray(np.tile(
+            np.array([[0.2, 0.2, 0.7, 0.7]], np.float32), (2, 1, 1))),
+        'gt_labels': jnp.asarray(np.full((2, 1), 2, np.int32)),
+        'gt_valid': jnp.asarray(np.ones((2, 1), bool)),
+    }
+    state, metrics = step(state, batch)
+    assert metrics['loss'].dtype == jnp.float32
+    assert np.isfinite(float(metrics['loss']))

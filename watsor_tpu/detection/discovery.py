@@ -26,6 +26,7 @@ import subprocess
 import sys
 
 PROBE_TIMEOUT_ENV = 'WATSOR_DEVICE_PROBE_TIMEOUT'
+DEFAULT_PROBE_TIMEOUT = 180.0          # the one documented default
 _PROBE_SRC = 'import jax; print(jax.devices()[0].platform)'
 
 
@@ -77,16 +78,21 @@ def ensure_responsive_backend(logger=None, timeout_s=None, _cmd=None,
     if os.environ.get('WATSOR_PLATFORM'):
         return None                        # explicit operator choice wins
     if timeout_s is None:
-        timeout_s = float(os.environ.get(PROBE_TIMEOUT_ENV, 180))
+        timeout_s = float(os.environ.get(PROBE_TIMEOUT_ENV,
+                                         DEFAULT_PROBE_TIMEOUT))
     if timeout_s <= 0:
         return None
     import jax
     platforms = _platforms if _platforms is not None \
         else (jax.config.jax_platforms or '')
-    if platforms in ('', 'cpu'):
-        # nothing risky pinned: plain hosts auto-select with JAX's own
-        # fallback; test processes run pinned to cpu already
+    if platforms == 'cpu':
+        # already pinned to the safe backend (test processes run so)
         return None
+    # '' = auto-select — exactly the state a production container boots
+    # in, and a wedged accelerator runtime hangs auto-select the same way
+    # it hangs an explicit choice (JAX's own fallback covers init ERRORS,
+    # not hangs), so probe it too; a plain-CPU host answers the probe in
+    # a couple of seconds
     ok, detail = _run_probe(
         _cmd or [sys.executable, '-c', _PROBE_SRC], timeout_s)
     if ok:

@@ -686,9 +686,20 @@ class Application:
 
     def run(self):
         init_logging(self._args.log_level, self._args.log_path)
+        self._install_signal_handler()
+        config = self._read_config()
+        # HTTP first: /health and /metrics must answer during the
+        # accelerator probe (up to WATSOR_DEVICE_PROBE_TIMEOUT on a wedged
+        # runtime) and the model build + warmup compile (minutes on a cold
+        # TPU cache) or every container liveness probe restarts the
+        # service before it can ever come up; routes tolerate the
+        # not-yet-built camera list
+        self._http_config = config.get('http', {})
+        self._http_serve()
         # Device-selection knob (the analog of the reference's
         # CORAL_VISIBLE_DEVICES / CUDA_VISIBLE_DEVICES env plumbing,
-        # detection/devices.py): WATSOR_PLATFORM=cpu forces the CPU backend.
+        # detection/devices.py): WATSOR_PLATFORM=cpu forces the CPU
+        # backend. Must settle before _setup's first JAX use.
         platform = os.environ.get('WATSOR_PLATFORM')
         if platform:
             import jax
@@ -703,14 +714,6 @@ class Application:
             from watsor_tpu.detection.discovery import \
                 ensure_responsive_backend
             ensure_responsive_backend(logger=_LOGGER)
-        self._install_signal_handler()
-        config = self._read_config()
-        # HTTP first: /health and /metrics must answer during the model
-        # build + warmup compile (minutes on a cold TPU cache) or every
-        # container liveness probe restarts the service before it can
-        # ever come up; routes tolerate the not-yet-built camera list
-        self._http_config = config.get('http', {})
-        self._http_serve()
         self._setup(config)
 
         decoders = [c.decoder for c in self._cameras]

@@ -257,9 +257,12 @@ def make_detect_batch(cfg, anchors_dev, raw_apply, normalize,
         else:
             # classic per-class formulations need every anchor decoded
             # (boxes in f32 — pixel accuracy needs it; [B, A, 4] is small)
+            # and f32 scores: the pallas kernel swaps into f32 refs, and
+            # exact/fast would otherwise quantize reported scores to the
+            # model's native bf16
             boxes = decode_boxes(box_enc.astype(jnp.float32), anchors_dev,
                                  scales=cfg.box_coder_scales)
-            scores = jax.nn.sigmoid(cls_logits)
+            scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
             b, s, c, v = batched_class_aware_nms(
                 boxes, scores,
                 iou_threshold=cfg.iou_threshold,

@@ -121,6 +121,11 @@ def make_train_step(config, tx, model=None, anchors=None,
         (box_enc, logits), mutated = model.apply(
             {'params': params, 'batch_stats': batch_stats}, x, train=True,
             mutable=['batch_stats'])
+        # the model may emit its serving dtype (bf16): losses reduce over
+        # ~A anchors per image, and large sums in an 8-bit mantissa
+        # collapse — compute the loss in f32 regardless of serving dtype
+        box_enc = box_enc.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
 
         cls_t, box_t, positive = jax.vmap(
             partial(_match_anchors, anchors, box_coder_scales))(
