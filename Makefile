@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: all native test test-fast coverage bench package image clean
+.PHONY: all native test test-fast test-slow coverage bench package image clean
 
 all: native
 
@@ -16,6 +16,11 @@ test: native
 # (slow = big CPU compiles, soaks, multi-minute app rigs)
 test-fast: native
 	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
+
+# the full slow tier, chunked one-file-per-process with per-chunk timeouts
+# so it completes on a one-core host (see scripts/test_slow.sh)
+test-slow: native
+	bash scripts/test_slow.sh
 
 coverage: native
 	$(PYTHON) -m pytest tests/ -q --cov=watsor_tpu --cov-report=term-missing \

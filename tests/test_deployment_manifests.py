@@ -100,6 +100,29 @@ def test_k8s_embedded_config_validates(k8s_docs):
         assert config['cameras'], 'example config declares no cameras'
 
 
+def test_cpu_dockerfile_is_arch_neutral():
+    """The CPU image is the reference's Pi-class arm64 tier
+    (/root/reference/README.md:330-392) — it must build under
+    ``docker buildx --platform linux/arm64`` unchanged. Pin the things
+    that silently break a cross-arch build: platform-pinned FROM lines,
+    arch-specific compiler flags reaching the native Makefile, and
+    amd64-only package names."""
+    with open(os.path.join(DOCKER, 'Dockerfile.cpu')) as f:
+        dockerfile = f.read()
+    # strip comments — the doc header legitimately mentions the platforms
+    lines = [l for l in dockerfile.splitlines()
+             if not l.lstrip().startswith('#')]
+    body = '\n'.join(lines)
+    assert '--platform' not in body, 'FROM/RUN pins an architecture'
+    assert re.search(r'\bamd64\b|\bx86_64\b', body) is None
+    assert 'buildx build' in dockerfile, 'multi-arch build doc line missing'
+    makefile = os.path.join(REPO, 'watsor_tpu', 'native', 'Makefile')
+    with open(makefile) as f:
+        flags = f.read()
+    assert re.search(r'-march|-msse|-mavx', flags) is None, (
+        'native Makefile carries arch-specific codegen flags')
+
+
 def test_compose_services_reference_shipped_dockerfiles():
     with open(os.path.join(DOCKER, 'docker-compose.yaml')) as f:
         compose = yaml.safe_load(f)

@@ -19,6 +19,7 @@ per-camera processes + shared-memory rings (main.py:354-419).
 
 import argparse
 import base64
+import hmac
 import json
 import logging
 import os
@@ -449,7 +450,9 @@ class Application:
             return False
         expected = '{}:{}'.format(username,
                                   self._http_config.get('password', ''))
-        return decoded == expected
+        # constant-time compare — a plain == leaks the match prefix length
+        # through response timing
+        return hmac.compare_digest(decoded.encode(), expected.encode())
 
     def _camera_by_name(self, name):
         for camera in self._cameras:
