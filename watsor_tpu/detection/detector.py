@@ -233,16 +233,19 @@ class ObjectDetector(Task):
             self.inference_time(per_frame_ms)
 
 
-def create_object_detectors(frame_queue_group, frame_buffers, backend_factory,
-                            stop_event=None, max_batch=64):
-    """One detector task per visible accelerator, all draining the same
-    balanced queue — the load-balancing contract of the reference's factory
-    (/root/reference/watsor/detection/detector.py:12-55: one process per
-    EdgeTPU/GPU, CPU fallback, assert at least one device).
+def resolve_device_pool(pool_spec=None):
+    """Enumerate the accelerator pool detectors are created over.
 
-    ``backend_factory(device) -> DetectorBackend``; devices come from
-    ``jax.devices()`` — TPU chips if present, CPU devices otherwise.
+    The reference enumerates EVERY device class simultaneously — EdgeTPUs,
+    CUDA GPUs and the CPU fallback all get a detector process draining the
+    same balanced queue (/root/reference/watsor/detection/detector.py:40-52).
+    The TPU-native default is all TPU chips, else one CPU device; the
+    ``WATSOR_DEVICE_POOL`` env (or ``pool_spec``) opts into heterogeneous
+    mixes with a comma list of ``platform[:count]`` entries, e.g.
+    ``tpu,cpu:1`` (every chip plus one CPU detector) or ``cpu:2``.
     """
+    import os
+
     import jax
 
     try:
@@ -258,9 +261,45 @@ def create_object_detectors(frame_queue_group, frame_buffers, backend_factory,
             'falling back to CPU', exc)
         jax.config.update('jax_platforms', 'cpu')
         all_devices = jax.devices()
-    devices = [d for d in all_devices if d.platform == 'tpu']
+
+    spec = pool_spec if pool_spec is not None \
+        else os.environ.get('WATSOR_DEVICE_POOL', '')
+    devices = []
+    if spec.strip():
+        log = logging.getLogger(__name__)
+        for entry in spec.split(','):
+            entry = entry.strip()
+            if not entry:
+                continue
+            platform, _, count = entry.partition(':')
+            platform = platform.strip().lower()
+            try:
+                pool = jax.devices(platform)
+            except RuntimeError:
+                log.warning('WATSOR_DEVICE_POOL: no %r devices visible — '
+                            'skipping the entry', platform)
+                continue
+            if count.strip():
+                pool = pool[:int(count)]
+            devices.extend(d for d in pool if d not in devices)
+    if not devices:
+        devices = [d for d in all_devices if d.platform == 'tpu']
     if not devices:
         devices = jax.devices('cpu')[:1]
+    return devices
+
+
+def create_object_detectors(frame_queue_group, frame_buffers, backend_factory,
+                            stop_event=None, max_batch=64, pool_spec=None):
+    """One detector task per device in the pool, all draining the same
+    balanced queue — the load-balancing contract of the reference's factory
+    (/root/reference/watsor/detection/detector.py:12-55: one process per
+    EdgeTPU/GPU, CPU fallback, assert at least one device; heterogeneous
+    pools via :func:`resolve_device_pool`).
+
+    ``backend_factory(device) -> DetectorBackend``.
+    """
+    devices = resolve_device_pool(pool_spec)
     assert len(devices) > 0, "No devices available for detection"
 
     any_queue = next(iter(frame_queue_group.values()))
