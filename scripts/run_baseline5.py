@@ -85,21 +85,23 @@ def get_metrics():
 
 
 def aggregate(metrics):
+    # reference metrics shape: cameras is a LIST of {name, fps: {stage:
+    # value}, ...} (main.py _metrics; shape re-pinned round 4)
     cams = metrics['cameras']
     agg = {
         'decoder_fps_total': round(sum(
-            c['decoder']['fps'] for c in cams.values()), 1),
+            c['fps']['decoder'] for c in cams), 1),
         'sieve_fps_total': round(sum(
-            c['sieve']['fps'] for c in cams.values()), 1),
+            c['fps']['sieve'] for c in cams), 1),
         'snapshot_fps_total': round(sum(
-            c['snapshot']['fps'] for c in cams.values()), 1),
-        'encoder_fps': next((c['encoder']['fps'] for c in cams.values()
-                             if c.get('encoder')), None),
+            c['fps']['snapshot'] for c in cams), 1),
+        'encoder_fps': next((c['fps']['encoder'] for c in cams
+                             if 'encoder' in c['fps']), None),
         'buffer_in_mean_pct': round(sum(
-            c['buffer_in'] for c in cams.values()) / len(cams), 1),
+            c['buffer_in'] for c in cams) / len(cams), 1),
         'detectors': metrics['detectors'],
         'e2e_latency_ms_p50': max(
-            (c['sieve'].get('latency_ms_p50') or 0) for c in cams.values()),
+            (c.get('latency_ms_p50') or 0) for c in cams),
     }
     return agg
 

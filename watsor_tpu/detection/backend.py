@@ -209,12 +209,23 @@ class JaxDetectorBackend(DetectorBackend):
     """
 
     def __init__(self, detector, device=None, max_batch=64,
-                 camera_tables=None, zone_refiners=None):
+                 camera_tables=None, zone_refiners=None, min_batch=None):
         import jax
+        import os
 
         self._detector = detector
         self._device = device if device is not None else jax.devices()[0]
         self._max_batch = max_batch
+        # floor bucket: every dispatch pads AT LEAST this high, so a
+        # deployment with N cameras can pin ONE program shape (bucket(N))
+        # instead of compiling each smaller bucket the first time a
+        # partial batch happens to hit it — on a cold cache an inline
+        # compile stalls the whole pipeline for minutes. Padding rows are
+        # a few hundred KB of H2D and identical device work per step.
+        if min_batch is None:
+            min_batch = int(os.environ.get('WATSOR_MIN_BUCKET', 1) or 1)
+        self._min_bucket = min(_bucket(max(int(min_batch), 1)),
+                               _bucket(max_batch))
         self._lock = threading.Lock()
         self.device_name = '{} {}'.format(self._device.platform.upper(),
                                           getattr(self._device, 'id', 0))
@@ -236,7 +247,8 @@ class JaxDetectorBackend(DetectorBackend):
         time — the analog of the reference's offline TRT engine build
         (/root/reference/watsor/main_for_gpu.py:17-26)."""
         h, w = hw if hw is not None else self.input_hw
-        dummy = np.zeros((_bucket(batch), h, w, 3), np.uint8)
+        b = max(_bucket(batch), self._min_bucket)
+        dummy = np.zeros((b, h, w, 3), np.uint8)
         self.detect_batch(dummy)
 
     def dispatch(self, images_u8: np.ndarray, senders=None):
@@ -251,7 +263,7 @@ class JaxDetectorBackend(DetectorBackend):
         import jax
 
         n = images_u8.shape[0]
-        b = _bucket(min(n, self._max_batch))
+        b = max(_bucket(min(n, self._max_batch)), self._min_bucket)
         if n < b:
             pad = np.zeros((b - n,) + images_u8.shape[1:], np.uint8)
             images_u8 = np.concatenate([images_u8, pad], axis=0)

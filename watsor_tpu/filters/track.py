@@ -14,8 +14,6 @@ design (SURVEY.md §5 "long-context": the only temporal state in the
 system).
 """
 
-from collections import deque
-
 import numpy as np
 from scipy.spatial import distance
 
@@ -29,11 +27,37 @@ def _centroids(detections):
 
 
 class _Track:
-    __slots__ = ('history', 'hits')
+    """Sliding history window in a PREALLOCATED structured ring.
+
+    A deque of scalar records made ``_merge`` stack-and-promote structured
+    dtypes every confirmed detection every frame — 72% of the tracker's
+    per-frame cost at 5 detections (HOST_BUDGET profile). The ring keeps
+    the window contiguous so merges read field VIEWS, and the last
+    centroid is cached as two plain floats for the matcher.
+    """
+
+    __slots__ = ('buf', 'count', 'hits', 'cy', 'cx')
 
     def __init__(self, maxlen):
-        self.history = deque(maxlen=maxlen)
+        self.buf = np.zeros(maxlen, DETECTION_DTYPE)
+        self.count = 0
         self.hits = 0
+        self.cy = 0.0
+        self.cx = 0.0
+
+    def append(self, rec):
+        self.buf[self.count % len(self.buf)] = rec
+        self.count += 1
+        bbox = rec['bbox']
+        self.cy = (float(bbox[0]) + float(bbox[2])) / 2.0
+        self.cx = (float(bbox[1]) + float(bbox[3])) / 2.0
+
+    def window(self):
+        """The live records (ring order — merges are order-free unions)."""
+        return self.buf[:min(self.count, len(self.buf))]
+
+    def latest(self):
+        return self.buf[(self.count - 1) % len(self.buf)]
 
 
 class TrackFilter:
@@ -63,8 +87,7 @@ class TrackFilter:
         assigned = {}
         if not tracks or not len(detections):
             return assigned
-        track_pts = np.array([_centroids(t.history[-1][None])[0]
-                              for t in tracks])
+        track_pts = np.array([(t.cy, t.cx) for t in tracks])
         det_pts = _centroids(detections)
         dist = distance.cdist(track_pts, det_pts)
         bbox = detections['bbox']
@@ -85,18 +108,20 @@ class TrackFilter:
 
     def _merge(self, track):
         """Union bbox + max confidence + zone union over the history."""
-        hist = np.stack(track.history)
-        out = hist[-1].copy()
-        out['bbox'][0] = hist['bbox'][:, 0].min()
-        out['bbox'][1] = hist['bbox'][:, 1].min()
-        out['bbox'][2] = hist['bbox'][:, 2].max()
-        out['bbox'][3] = hist['bbox'][:, 3].max()
+        hist = track.window()
+        out = track.latest().copy()
+        bbox = hist['bbox']
+        out['bbox'][0] = bbox[:, 0].min()
+        out['bbox'][1] = bbox[:, 1].min()
+        out['bbox'][2] = bbox[:, 2].max()
+        out['bbox'][3] = bbox[:, 3].max()
         out['confidence'] = hist['confidence'].max()
-        zones = set()
-        for rec in hist:
-            zones.update(rec['zones'][:rec['num_zones']].tolist())
-        zones.discard(0)
-        zones = sorted(zones)[:MAX_ZONES]
+        # vectorized zone union: valid columns are those below each
+        # record's num_zones (zones are stored front-packed)
+        zmask = np.arange(hist['zones'].shape[1]) < \
+            hist['num_zones'][:, None]
+        zones = np.unique(hist['zones'][zmask])
+        zones = zones[zones != 0][:MAX_ZONES]
         out['zones'][:] = 0
         out['zones'][:len(zones)] = zones
         out['num_zones'] = len(zones)
@@ -130,7 +155,7 @@ class TrackFilter:
                 else:
                     track = _Track(self._history)
                     survivors.append(track)
-                track.history.append(dets[di].copy())
+                track.append(dets[di])
                 track.hits += 1
                 if track.hits >= self._sensitivity:
                     confirmed.append(self._merge(track))

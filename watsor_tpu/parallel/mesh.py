@@ -52,12 +52,21 @@ def param_shardings(mesh: Mesh, params, model_parallel: bool = True):
         return str(getattr(entry, 'key', getattr(entry, 'name',
                                                  getattr(entry, 'idx', ''))))
 
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+
     def spec_for(path, leaf):
         if model_parallel and getattr(leaf, 'ndim', 0) == 4:
             parent = _key(path[-2]) if len(path) >= 2 else ''
             name = _key(path[-1]) if path else ''
             if name == 'kernel' and _MODEL_SHARDED_KERNEL.search(parent):
-                return P(None, None, None, MODEL_AXIS)
+                # a kernel only shards if its out-channel dim divides the
+                # model axis: the production 90-class cls_head is 3x91=273
+                # channels (odd) — replicate it, shard the rest (the
+                # box_head's 3x4=12 still splits). Caught by the round-4
+                # production-geometry dryrun; without this the whole fleet
+                # path crashed on any odd-channel head.
+                if leaf.shape[-1] % model_size == 0:
+                    return P(None, None, None, MODEL_AXIS)
         return P()
 
     return jax.tree_util.tree_map_with_path(
