@@ -19,6 +19,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from watsor_tpu.runtime.frames import MAX_ZONES
+
 _BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 
@@ -91,6 +93,115 @@ def _refine_zones(zone_refiners, senders, boxes, scores, classes, valid,
             valid[i] -= len(drop)
 
 
+def _make_packers():
+    """Jitted single-buffer output packing.
+
+    resolve() used to fetch 4-6 separate device arrays; every fetch is a
+    host-device round trip (on a PCIe host a sync each, on this rig a
+    measured ~27 ms tunnel RTT each — the latency sweep found 5 fetches
+    costing ~135 ms of a 204 ms small-batch step). The step's outputs are
+    instead packed ON DEVICE into one f32 [B, N+1, 7] array — cols 0:4
+    boxes, 4 score, 5 class, 6 zone bitmask (Z<=10 bits, exact in f32);
+    row N carries `valid` in col 0 — so resolve pays exactly ONE fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def _body(boxes, scores, classes, zbits):
+        return jnp.concatenate([
+            boxes.astype(jnp.float32),
+            scores[..., None].astype(jnp.float32),
+            classes[..., None].astype(jnp.float32),
+            zbits[..., None].astype(jnp.float32),
+        ], axis=-1)
+
+    @jax.jit
+    def pack(boxes, scores, classes, valid):
+        body = _body(boxes, scores, classes,
+                     jnp.zeros(scores.shape, jnp.float32))
+        tail = jnp.zeros((body.shape[0], 1, body.shape[2]), jnp.float32)
+        tail = tail.at[:, 0, 0].set(valid.astype(jnp.float32))
+        return jnp.concatenate([body, tail], axis=1)
+
+    @jax.jit
+    def pack_zones(boxes, scores, classes, valid, zones_hit):
+        weights = 2.0 ** jnp.arange(zones_hit.shape[-1], dtype=jnp.float32)
+        zbits = jnp.sum(zones_hit.astype(jnp.float32) * weights, axis=-1)
+        body = _body(boxes, scores, classes, zbits)
+        tail = jnp.zeros((body.shape[0], 1, body.shape[2]), jnp.float32)
+        tail = tail.at[:, 0, 0].set(valid.astype(jnp.float32))
+        return jnp.concatenate([body, tail], axis=1)
+
+    return pack, pack_zones
+
+
+_PACKERS = None
+
+
+def _get_packers():
+    global _PACKERS
+    if _PACKERS is None:
+        _PACKERS = _make_packers()
+    return _PACKERS
+
+
+def _pack_outputs(out, zones_hit):
+    """Pack a detection NamedTuple (+ optional zones) into one device
+    array; returns the packed array (still on device, not fetched)."""
+    pack, pack_zones = _get_packers()
+    if zones_hit is not None:
+        return pack_zones(out.boxes, out.scores, out.classes, out.valid,
+                          zones_hit)
+    return pack(out.boxes, out.scores, out.classes, out.valid)
+
+
+def _make_fused_steps(detect_batch):
+    """ONE jitted program per dispatch: detect + (filters) + pack.
+
+    Separately dispatched stages (detect step, filter step, pack step)
+    each pay a host->device call; on this rig's tunnel every dispatch is
+    a measured ~27 ms round trip, and on a PCIe host each is a syscall +
+    sync point. Composing them under one jit collapses the per-batch
+    call count to one dispatch + one fetch. The inner ``detect_batch``
+    is itself jitted — tracing inlines it, so the fused program compiles
+    the same XLA graph plus the (tiny) filter/pack tail.
+    """
+    import jax
+
+    from watsor_tpu.ops.filter_device import apply_filters_device_indexed
+
+    pack, pack_zones = _get_packers()
+
+    @jax.jit
+    def step_plain(params, x):
+        out = detect_batch(params, x)
+        return pack(out.boxes, out.scores, out.classes, out.valid)
+
+    @jax.jit
+    def step_filtered(params, x, tables, row_idx):
+        out = detect_batch(params, x)
+        scores, classes, zones_hit, valid = apply_filters_device_indexed(
+            out.boxes, out.scores, out.classes, *tables, row_idx)
+        return pack_zones(out.boxes, scores, classes, valid, zones_hit)
+
+    return step_plain, step_filtered
+
+
+def _unpack_outputs(packed, n, with_zones, max_zones):
+    """Host-side split of the packed fetch back into the detect_batch
+    contract arrays (sliced to the real batch n)."""
+    body = packed[:n, :-1, :]
+    boxes = np.ascontiguousarray(body[..., 0:4])
+    scores = np.ascontiguousarray(body[..., 4])
+    classes = body[..., 5].astype(np.int32)
+    valid = packed[:n, -1, 0].astype(np.int32)
+    if not with_zones:
+        return boxes, scores, classes, valid, None
+    zbits = body[..., 6].astype(np.int64)
+    zones_hit = (zbits[..., None] >> np.arange(max_zones)) & 1 != 0
+    return boxes, scores, classes, valid, zones_hit
+
+
 class DetectorBackend:
     """Protocol: batched uint8 frames in, padded detection arrays out."""
 
@@ -125,9 +236,13 @@ class FleetBackend(DetectorBackend):
 
     def __init__(self, fleet, max_batch=64, camera_tables=None,
                  zone_refiners=None):
+        import os
+
         self._fleet = fleet
         self._max_batch = max_batch
         self._lock = threading.Lock()
+        self._packed_fetch = os.environ.get('WATSOR_PACKED_FETCH',
+                                            '1') != '0'
         mesh = fleet.mesh
         self._data_size = mesh.shape.get('data', 1)
         self.device_name = 'TPU MESH {}'.format(
@@ -142,6 +257,11 @@ class FleetBackend(DetectorBackend):
             self._table_store = _FilterTableStore(
                 camera_tables, NamedSharding(mesh, PartitionSpec()))
         self._zone_refiners = zone_refiners or {}
+        self._fused_plain = self._fused_filtered = None
+        if self._packed_fetch and \
+                hasattr(fleet.detector.detect_batch, 'lower'):
+            self._fused_plain, self._fused_filtered = _make_fused_steps(
+                fleet.detector.detect_batch)
 
     def warmup(self, hw=None, batch=None):
         h, w = hw if hw is not None else self.input_hw
@@ -165,31 +285,49 @@ class FleetBackend(DetectorBackend):
             row_idx = self._table_store.rows(senders, target)
         with self._lock:
             start = perf_counter()
-            out = self._fleet.detect(images_u8)
-            zones_hit = None
-            if row_idx is not None:
-                out, zones_hit = _apply_device_filters(
-                    out, self._table_store, row_idx)
-        return (out, zones_hit, n, start, senders)
+            if self._fused_plain is not None:
+                x = self._fleet.shard_batch(images_u8)
+                if row_idx is not None:
+                    payload = self._fused_filtered(
+                        self._fleet.params, x, self._table_store.tables,
+                        row_idx)
+                else:
+                    payload = self._fused_plain(self._fleet.params, x)
+            else:
+                out = self._fleet.detect(images_u8)
+                zones_hit = None
+                if row_idx is not None:
+                    out, zones_hit = _apply_device_filters(
+                        out, self._table_store, row_idx)
+                payload = _pack_outputs(out, zones_hit) \
+                    if self._packed_fetch else (out, zones_hit)
+        return (payload, row_idx is not None, n, start, senders)
 
     def resolve(self, handle):
         import jax
 
-        out, zones_hit, n, start, senders = handle
-        out = jax.block_until_ready(out)
-        device_ms = (perf_counter() - start) * 1000.0
-        boxes = np.asarray(out.boxes, np.float32)[:n]
-        scores = np.asarray(out.scores, np.float32)[:n]
-        classes = np.asarray(out.classes, np.int32)[:n]
-        valid = np.asarray(out.valid, np.int32)[:n]
-        if zones_hit is not None:
-            zones_hit = np.asarray(zones_hit)[:n]
-            if senders is not None and self._zone_refiners:
+        payload, with_zones, n, start, senders = handle
+        if self._packed_fetch:
+            arr = np.asarray(jax.block_until_ready(payload))
+            device_ms = (perf_counter() - start) * 1000.0
+            boxes, scores, classes, valid, zones_hit = _unpack_outputs(
+                arr, n, with_zones, MAX_ZONES)
+        else:
+            out, zones_hit = payload
+            out = jax.block_until_ready(out)
+            device_ms = (perf_counter() - start) * 1000.0
+            boxes = np.asarray(out.boxes, np.float32)[:n]
+            scores = np.asarray(out.scores, np.float32)[:n]
+            classes = np.asarray(out.classes, np.int32)[:n]
+            valid = np.asarray(out.valid, np.int32)[:n]
+            if zones_hit is not None:
                 # np.asarray over device buffers is read-only zero-copy;
                 # the refiner mutates, so materialize writable copies
-                scores, classes, valid, zones_hit = (
-                    scores.copy(), classes.copy(), valid.copy(),
-                    zones_hit.copy())
+                zones_hit = np.asarray(zones_hit)[:n].copy()
+                scores, classes, valid = (scores.copy(), classes.copy(),
+                                          valid.copy())
+        if zones_hit is not None:
+            if senders is not None and self._zone_refiners:
                 _refine_zones(self._zone_refiners, senders, boxes, scores,
                               classes, valid, zones_hit)
             return boxes, scores, classes, valid, device_ms, zones_hit
@@ -226,6 +364,10 @@ class JaxDetectorBackend(DetectorBackend):
             min_batch = int(os.environ.get('WATSOR_MIN_BUCKET', 1) or 1)
         self._min_bucket = min(_bucket(max(int(min_batch), 1)),
                                _bucket(max_batch))
+        # packed single-fetch results (default on; WATSOR_PACKED_FETCH=0
+        # restores the per-field fetches for comparison)
+        self._packed_fetch = os.environ.get('WATSOR_PACKED_FETCH',
+                                            '1') != '0'
         self._lock = threading.Lock()
         self.device_name = '{} {}'.format(self._device.platform.upper(),
                                           getattr(self._device, 'id', 0))
@@ -241,6 +383,13 @@ class JaxDetectorBackend(DetectorBackend):
             self._table_store = _FilterTableStore(camera_tables,
                                                   self._device)
         self._zone_refiners = zone_refiners or {}
+        self._fused_plain = self._fused_filtered = None
+        # single-dispatch fusion only composes over a genuinely jitted
+        # step (test doubles ship plain-numpy detect_batch fns that
+        # cannot trace); they still get packed single-FETCH below
+        if self._packed_fetch and hasattr(detector.detect_batch, 'lower'):
+            self._fused_plain, self._fused_filtered = _make_fused_steps(
+                detector.detect_batch)
 
     def warmup(self, hw: Optional[Tuple[int, int]] = None, batch: int = 1):
         """Compile the step for one (batch, resolution) combination ahead of
@@ -275,36 +424,56 @@ class JaxDetectorBackend(DetectorBackend):
         with self._lock:
             start = perf_counter()
             x = jax.device_put(images_u8, self._device)
-            out = self._detector.detect_batch(self._params, x)
-            zones_hit = None
-            if row_idx is not None:
-                out, zones_hit = _apply_device_filters(
-                    out, self._table_store, row_idx)
-        return (out, zones_hit, n, start, senders)
+            if self._fused_plain is not None:
+                # ONE dispatch (detect+filter+pack fused) and later ONE
+                # fetch (see _make_fused_steps/_make_packers)
+                if row_idx is not None:
+                    payload = self._fused_filtered(
+                        self._params, x, self._table_store.tables, row_idx)
+                else:
+                    payload = self._fused_plain(self._params, x)
+            else:
+                out = self._detector.detect_batch(self._params, x)
+                zones_hit = None
+                if row_idx is not None:
+                    out, zones_hit = _apply_device_filters(
+                        out, self._table_store, row_idx)
+                payload = _pack_outputs(out, zones_hit) \
+                    if self._packed_fetch else (out, zones_hit)
+        return (payload, row_idx is not None, n, start, senders)
 
     def resolve(self, handle):
         """Block until a dispatched step completes; returns the standard
         detect_batch tuple."""
         import jax
 
-        out, zones_hit, n, start, senders = handle
-        out = jax.block_until_ready(out)
-        device_ms = (perf_counter() - start) * 1000.0
-        # slice on the HOST: a device-side [:n] would dispatch extra slice
-        # programs + separate transfers per field (the padded tail is a few
-        # KB — cheaper to ship than to trim remotely)
-        boxes = np.asarray(out.boxes, np.float32)[:n]
-        scores = np.asarray(out.scores, np.float32)[:n]
-        classes = np.asarray(out.classes, np.int32)[:n]
-        valid = np.asarray(out.valid, np.int32)[:n]
-        if zones_hit is not None:
-            zones_hit = np.asarray(zones_hit)[:n]
-            if senders is not None and self._zone_refiners:
+        payload, with_zones, n, start, senders = handle
+        if self._packed_fetch:
+            # ONE fetch; np.asarray forces the actual D2H (on this rig
+            # block_until_ready alone can return before the data landed)
+            arr = np.asarray(jax.block_until_ready(payload))
+            device_ms = (perf_counter() - start) * 1000.0
+            boxes, scores, classes, valid, zones_hit = _unpack_outputs(
+                arr, n, with_zones, MAX_ZONES)
+        else:
+            out, zones_hit = payload
+            out = jax.block_until_ready(out)
+            device_ms = (perf_counter() - start) * 1000.0
+            # slice on the HOST: a device-side [:n] would dispatch extra
+            # slice programs + separate transfers per field (the padded
+            # tail is a few KB — cheaper to ship than to trim remotely)
+            boxes = np.asarray(out.boxes, np.float32)[:n]
+            scores = np.asarray(out.scores, np.float32)[:n]
+            classes = np.asarray(out.classes, np.int32)[:n]
+            valid = np.asarray(out.valid, np.int32)[:n]
+            if zones_hit is not None:
                 # np.asarray over device buffers is read-only zero-copy;
                 # the refiner mutates, so materialize writable copies
-                scores, classes, valid, zones_hit = (
-                    scores.copy(), classes.copy(), valid.copy(),
-                    zones_hit.copy())
+                zones_hit = np.asarray(zones_hit)[:n].copy()
+                scores, classes, valid = (scores.copy(), classes.copy(),
+                                          valid.copy())
+        if zones_hit is not None:
+            if senders is not None and self._zone_refiners:
                 _refine_zones(self._zone_refiners, senders, boxes, scores,
                               classes, valid, zones_hit)
             return boxes, scores, classes, valid, device_ms, zones_hit
