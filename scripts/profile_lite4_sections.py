@@ -165,7 +165,9 @@ def main(argv):
               file=sys.stderr, flush=True)
 
     print(json.dumps(results), flush=True)
-    with open(os.path.join(REPO, 'LITE4_PROFILE.jsonl'), 'a') as f:
+    out = os.environ.get('PROFILE_OUT',
+                         os.path.join(REPO, 'LITE4_PROFILE.jsonl'))
+    with open(out, 'a') as f:
         f.write(json.dumps(results) + '\n')
 
 
