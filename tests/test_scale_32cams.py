@@ -100,17 +100,24 @@ def test_latency_bound_under_full_scale(app32):
     """Automated guard for the north-star latency posture (<50 ms p50
     frame→detection on hardware, BASELINE.json): with the analytic backend
     the measured latency IS the pipeline-added latency (queue waits, batch
-    gather window, latch protocol) — a generous CPU-CI bound fails the
-    suite if the machinery starts adding delay. Runs after the progress
-    test so the sliding window holds steady-state samples."""
+    gather window, latch protocol) — a CPU-CI bound fails the suite if the
+    machinery starts adding delay. Runs after the progress test so the
+    sliding window holds steady-state samples.
+
+    Bounds pinned against the round-4 silicon measurement
+    (BENCHMARKS.md "Latency vs camera count ON SILICON",
+    LATENCY_SWEEP.jsonl / TRANSPORT_PROBE.jsonl): the machinery adds
+    ~8.8 ms on the chip rig and 3-6 ms p50 on this CI rig at 32 cameras
+    on one core, so 50 ms (the full north-star budget, >10x the measured
+    CI value) guards the posture without flaking on slow hosts."""
     url, app = app32
     import json
     with urllib.request.urlopen(url + '/metrics', timeout=10) as resp:
         metrics = json.load(resp)
     det = metrics['detectors'][0]
-    assert 0 < det['latency_ms_p50'] < 500, det
+    assert 0 < det['latency_ms_p50'] < 50, det
     # sieve e2e (capture -> filtered detections) on every camera
     p50s = [c['latency_ms']['sieve']['p50'] for c in metrics['cameras']]
-    assert all(0 < p < 1000 for p in p50s), (
+    assert all(0 < p < 100 for p in p50s), (
         'pipeline-added sieve latency out of bounds: worst {} ms'
         .format(max(p50s)))
