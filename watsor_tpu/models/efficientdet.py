@@ -31,6 +31,7 @@ architecture is first-class and jit-compiles into one XLA program.
 """
 
 import math
+import os
 from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
@@ -96,6 +97,11 @@ class EfficientDetConfig(NamedTuple):
     # stem conv its input packed ([S/2,S/2,12] instead of the 128-lane-
     # padded [S,S,3]); 'early' (measured, rejected — see EfficientNetLite)
     packing: str = 'none'
+    # run cls_head+box_head as one twice-wide stack (_DualHead): halves
+    # pyramid reads and, below the 128-lane tile, padded intermediate
+    # traffic; exact numerics (block-diagonal pointwise). Checkpoints
+    # always store the two-head layout; build_effdet fuses at load.
+    fused_heads: bool = False
 
     @property
     def num_levels(self):
@@ -135,6 +141,19 @@ def _resize_to(x, h, w):
     if xh == h and xw == w:
         return x
     if xh < h:  # upsample — nearest
+        if h == 2 * xh and w == 2 * xw and \
+                os.environ.get('WATSOR_UPSAMPLE') != 'gather':
+            # WATSOR_UPSAMPLE=gather restores the resize lowering (A/B
+            # escape; read at trace time — one process, one compile)
+            # exact-2x nearest == pixel repeat (output pixel i reads input
+            # i//2, identical to jax.image.resize 'nearest' — pinned by
+            # tests/test_effdet_fused_head.py). Lowers to a fusable
+            # broadcast+reshape instead of resize's gather, so XLA can
+            # fold the upsample into the consuming fusion-node sum rather
+            # than materializing the upsampled tensor in HBM.
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (B, xh, 2, xw, 2, C))
+            return x.reshape(B, h, w, C)
         return jax.image.resize(x, (B, h, w, C), method='nearest')
     # downsample: stride-2 max pool
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding='SAME')
@@ -247,6 +266,106 @@ class _Head(nn.Module):
         return outputs
 
 
+class _DualHead(nn.Module):
+    """cls_head and box_head fused into ONE twice-wide separable stack.
+
+    The two heads have identical structure (same repeats/channels, shared
+    conv weights across levels, per-level BN) and both read every pyramid
+    level — running them as one stack of width ``2*channels`` halves the
+    pyramid reads and, when ``channels`` is below the 128-lane tile
+    (Lite0: 64), halves the lane-padded HBM traffic of every intermediate.
+    Numerics are exact: depthwise kernels concatenate per-channel, the
+    pointwise stages become block-diagonal (the zero off-blocks add exact
+    zeros to the f32 accumulators), BN is per-channel. Weights come from
+    ``fuse_dual_head_params`` applied to the standard two-head layout —
+    checkpoints and converters never see this layout.
+
+    HBM-diet experiment for the round-3 verdict's EffDet-Lite0-2
+    efficiency question; enabled by ``EfficientDetConfig.fused_heads``
+    (env ``WATSOR_FUSED_HEADS=1``)."""
+
+    cls_features: int
+    box_features: int
+    repeats: int
+    channels: int          # per-head channels; the fused width is 2x
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        width = 2 * self.channels
+        convs = [SeparableConv(width, dtype=self.dtype, name=f'sep{r}')
+                 for r in range(self.repeats)]
+        final = SeparableConv(self.cls_features + self.box_features,
+                              dtype=self.dtype, name='predict')
+        cls_outs, box_outs = [], []
+        for level, x in enumerate(feats):
+            x = jnp.concatenate([x, x], axis=-1)
+            for r, conv in enumerate(convs):
+                x = conv(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.99, epsilon=1e-3,
+                                 dtype=self.dtype,
+                                 name=f'bn{r}_l{level}')(x)
+                x = jnp.minimum(nn.relu(x), 6.0)
+            y = final(x)
+            cls_outs.append(y[..., :self.cls_features])
+            box_outs.append(y[..., self.cls_features:])
+        return cls_outs, box_outs
+
+
+def fuse_dual_head_params(variables, cfg: EfficientDetConfig):
+    """Map standard two-head variables into the ``_DualHead`` layout.
+
+    Depthwise kernels (3,3,1,C) concatenate along the channel axis;
+    pointwise kernels become block-diagonal (1,1,2C,2C) with the box
+    block offset by C on both axes; per-level BN params/stats
+    concatenate. The predict stage maps cls->columns [:cls_features] and
+    box->the rest, reading only its own half of the fused dw output.
+    Pure numpy; applied once at build time."""
+    cat = np.concatenate
+
+    def _np(tree):
+        return jax.tree_util.tree_map(np.asarray, tree)
+
+    def _dw(cls_k, box_k):
+        return {'kernel': cat([cls_k['kernel'], box_k['kernel']], axis=-1)}
+
+    def _pw_diag(cls_k, box_k):
+        ck, bk = cls_k['kernel'], box_k['kernel']
+        c_in, c_out = ck.shape[2], ck.shape[3]
+        b_in, b_out = bk.shape[2], bk.shape[3]
+        k = np.zeros((1, 1, c_in + b_in, c_out + b_out), ck.dtype)
+        k[:, :, :c_in, :c_out] = ck
+        k[:, :, c_in:, c_out:] = bk
+        out = {'kernel': k}
+        if 'bias' in cls_k:
+            out['bias'] = cat([cls_k['bias'], box_k['bias']])
+        return out
+
+    def _fuse_tree(cls_t, box_t):
+        fused = {}
+        for name in cls_t:
+            if name.startswith('sep') or name == 'predict':
+                fused[name] = {'dw': _dw(cls_t[name]['dw'],
+                                         box_t[name]['dw']),
+                               'pw': _pw_diag(cls_t[name]['pw'],
+                                              box_t[name]['pw'])}
+            else:   # bn{r}_l{level}: per-channel vectors
+                fused[name] = {k: cat([cls_t[name][k], box_t[name][k]])
+                               for k in cls_t[name]}
+        return fused
+
+    out = {}
+    for coll, tree in variables.items():
+        tree = dict(tree)
+        if 'cls_head' in tree and 'box_head' in tree:
+            cls_t = _np(tree.pop('cls_head'))
+            box_t = _np(tree.pop('box_head'))
+            tree['dual_head'] = _fuse_tree(cls_t, box_t)
+        out[coll] = tree
+    return out
+
+
 class EfficientDet(nn.Module):
     config: EfficientDetConfig = EfficientDetConfig()
 
@@ -272,12 +391,18 @@ class EfficientDet(nn.Module):
 
         num_anchors = cfg.anchors_per_cell
         num_cls = cfg.num_class_outputs
-        cls_outputs = _Head(num_anchors * num_cls, cfg.head_repeats,
-                            cfg.fpn_channels, dtype=cfg.dtype,
-                            name='cls_head')(feats, train)
-        box_outputs = _Head(num_anchors * 4, cfg.head_repeats,
-                            cfg.fpn_channels, dtype=cfg.dtype,
-                            name='box_head')(feats, train)
+        if cfg.fused_heads:
+            cls_outputs, box_outputs = _DualHead(
+                num_anchors * num_cls, num_anchors * 4, cfg.head_repeats,
+                cfg.fpn_channels, dtype=cfg.dtype,
+                name='dual_head')(feats, train)
+        else:
+            cls_outputs = _Head(num_anchors * num_cls, cfg.head_repeats,
+                                cfg.fpn_channels, dtype=cfg.dtype,
+                                name='cls_head')(feats, train)
+            box_outputs = _Head(num_anchors * 4, cfg.head_repeats,
+                                cfg.fpn_channels, dtype=cfg.dtype,
+                                name='box_head')(feats, train)
         B = images.shape[0]
         boxes = jnp.concatenate(
             [b.reshape(B, -1, 4) for b in box_outputs], axis=1)
@@ -350,6 +475,10 @@ def build_effdet(config: EfficientDetConfig = EfficientDetConfig(),
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), cfg.dtype)
         params = model.init(rng, dummy, train=False)
+    elif cfg.fused_heads and 'cls_head' in params.get('params', {}):
+        # stored weights are always in the standard two-head layout;
+        # the fused layout exists only inside the built detector
+        params = fuse_dual_head_params(params, cfg)
     if anchors is None:
         anchors = effdet_anchors(cfg)
     else:

@@ -122,6 +122,11 @@ def build_from_zoo(name=DEFAULT_MODEL, model_path=None, rng=None,
         config = config._replace(dtype=dtype)
     if nms_mode is not None and hasattr(config, 'nms_mode'):
         config = config._replace(nms_mode=nms_mode)
+    if os.environ.get('WATSOR_FUSED_HEADS') == '1' and \
+            hasattr(config, 'fused_heads'):
+        # EfficientDet HBM diet: run cls+box as one twice-wide head
+        # (models/efficientdet._DualHead); weights fuse at build time
+        config = config._replace(fused_heads=True)
     params = load_weights(model_path, name)
     anchors = None
     if isinstance(params, dict) and 'postprocess' in params:
