@@ -60,6 +60,12 @@ def main():
                                 flush=True))
         row = {'chained_ms_per_step': round(ms, 2),
                'fps': round(BATCH * 1000.0 / ms, 1)}
+        # record the HBM-diet knobs so A/B legs are distinguishable
+        knobs = {k: os.environ[k] for k in
+                 ('WATSOR_FUSED_HEADS', 'WATSOR_UPSAMPLE')
+                 if os.environ.get(k)}
+        if knobs:
+            row['knobs'] = knobs
         row.update(detail)
         results['models'][name] = row
         print(name, json.dumps(row), file=sys.stderr, flush=True)
