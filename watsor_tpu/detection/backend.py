@@ -48,6 +48,7 @@ class _FilterTableStore:
     def __init__(self, camera_tables, device=None):
         import jax
         names = sorted(camera_tables)
+        self.names = names
         self._row = {name: i for i, name in enumerate(names)}
         stacked = tuple(
             np.stack([np.asarray(camera_tables[name][i]) for name in names])
@@ -235,7 +236,7 @@ class FleetBackend(DetectorBackend):
     """
 
     def __init__(self, fleet, max_batch=64, camera_tables=None,
-                 zone_refiners=None):
+                 zone_refiners=None, min_batch=None):
         import os
 
         self._fleet = fleet
@@ -245,6 +246,13 @@ class FleetBackend(DetectorBackend):
                                             '1') != '0'
         mesh = fleet.mesh
         self._data_size = mesh.shape.get('data', 1)
+        # same floor-bucket contract as JaxDetectorBackend: pin ONE
+        # program shape for an N-camera deployment instead of inline-
+        # compiling each smaller bucket the first time it occurs
+        if min_batch is None:
+            min_batch = int(os.environ.get('WATSOR_MIN_BUCKET', 1) or 1)
+        self._min_bucket = min(_bucket(max(int(min_batch), 1)),
+                               _bucket(max_batch))
         self.device_name = 'TPU MESH {}'.format(
             dict(zip(mesh.axis_names, mesh.devices.shape)))
         size = fleet.config.input_size
@@ -266,15 +274,26 @@ class FleetBackend(DetectorBackend):
     def warmup(self, hw=None, batch=None):
         h, w = hw if hw is not None else self.input_hw
         batch = batch or self._data_size
-        n = max(_bucket(batch), self._data_size)
+        n = max(_bucket(batch), self._data_size, self._min_bucket)
         n = ((n + self._data_size - 1) // self._data_size) * self._data_size
-        self.detect_batch(np.zeros((n, h, w, 3), np.uint8))
+        # warm the program production will actually run: with camera
+        # tables configured every live batch takes the FILTERED fused
+        # step, which is a different XLA program than the plain one —
+        # warming only the plain step leaves a full model compile to
+        # happen inline on the first real batch (minutes on this class
+        # of hardware, mid-serving)
+        senders = None
+        if self._table_store is not None:
+            senders = [self._table_store.names[0]] * n
+        self.detect_batch(np.zeros((n, h, w, 3), np.uint8),
+                          senders=senders)
 
     def dispatch(self, images_u8, senders=None):
         """Async launch across the mesh (same contract as
         JaxDetectorBackend.dispatch: caller double-buffers the input)."""
         n = images_u8.shape[0]
-        target = max(_bucket(min(n, self._max_batch)), self._data_size)
+        target = max(_bucket(min(n, self._max_batch)), self._data_size,
+                     self._min_bucket)
         target = ((target + self._data_size - 1) // self._data_size) * \
             self._data_size
         if n < target:
@@ -398,7 +417,13 @@ class JaxDetectorBackend(DetectorBackend):
         h, w = hw if hw is not None else self.input_hw
         b = max(_bucket(batch), self._min_bucket)
         dummy = np.zeros((b, h, w, 3), np.uint8)
-        self.detect_batch(dummy)
+        # with camera tables configured, production batches always run
+        # the FILTERED fused program — warm that one, not the plain
+        # variant that would never execute (see FleetBackend.warmup)
+        senders = None
+        if self._table_store is not None:
+            senders = [self._table_store.names[0]] * b
+        self.detect_batch(dummy, senders=senders)
 
     def dispatch(self, images_u8: np.ndarray, senders=None):
         """Launch H2D + the fused step WITHOUT blocking: JAX dispatch is

@@ -280,7 +280,17 @@ def resolve_device_pool(pool_spec=None):
                             'skipping the entry', platform)
                 continue
             if count.strip():
-                pool = pool[:int(count)]
+                try:
+                    limit = int(count)
+                except ValueError:
+                    log.warning('WATSOR_DEVICE_POOL: bad count %r in %r — '
+                                'skipping the entry', count.strip(), entry)
+                    continue
+                if limit <= 0:
+                    log.warning('WATSOR_DEVICE_POOL: non-positive count in '
+                                '%r — skipping the entry', entry)
+                    continue
+                pool = pool[:limit]
             devices.extend(d for d in pool if d not in devices)
     if not devices:
         devices = [d for d in all_devices if d.platform == 'tpu']
