@@ -88,3 +88,18 @@ def test_results_sliced_to_real_batch():
     boxes, scores, classes, valid, _ms = backend.detect_batch(
         np.zeros((2, 32, 32, 3), np.uint8))
     assert boxes.shape[0] == 2 and valid.shape == (2,)
+
+
+def test_auto_min_bucket(monkeypatch):
+    """Deployment default: TPU backends pin bucket(cameras); CPU backends
+    (incl. the CPU member of a heterogeneous pool — padded rows cost real
+    per-row conv time there) keep unfloored buckets; an explicit
+    WATSOR_MIN_BUCKET always wins."""
+    from watsor_tpu.detection.backend import auto_min_bucket
+
+    monkeypatch.delenv('WATSOR_MIN_BUCKET', raising=False)
+    assert auto_min_bucket('tpu', 12) == 12
+    assert auto_min_bucket('tpu', 0) == 1
+    assert auto_min_bucket('cpu', 12) is None
+    monkeypatch.setenv('WATSOR_MIN_BUCKET', '4')
+    assert auto_min_bucket('tpu', 12) is None   # env wins

@@ -94,6 +94,33 @@ def _refine_zones(zone_refiners, senders, boxes, scores, classes, valid,
             valid[i] -= len(drop)
 
 
+def auto_min_bucket(platform, n_cameras):
+    """Deployment default for the floor bucket (WATSOR_MIN_BUCKET).
+
+    On TPU the padded rows of a floored bucket are nearly free (a few
+    hundred KB of H2D; the program shape does identical device work), so
+    an N-camera deployment should pin ONE compiled shape — bucket(N) —
+    instead of inline-compiling each smaller bucket the first time a
+    partial batch hits it (minutes on a cold cache, mid-serving, after
+    `ready` was signalled). On CPU the padded rows cost REAL per-row
+    convolution time (~400 ms/frame for SSD300 on one core), so a CPU
+    detector — including the CPU member of a heterogeneous
+    WATSOR_DEVICE_POOL — keeps the unfloored buckets and accepts the
+    one-off inline compile instead.
+
+    Returns the ``min_batch`` to pass to a backend, or None to let the
+    backend's own env-var default apply (also when the operator set
+    WATSOR_MIN_BUCKET explicitly — the env always wins).
+    """
+    import os
+
+    if os.environ.get('WATSOR_MIN_BUCKET'):
+        return None
+    if platform == 'tpu':
+        return max(int(n_cameras), 1)
+    return None
+
+
 def _make_packers():
     """Jitted single-buffer output packing.
 

@@ -409,7 +409,8 @@ class Application:
                 os.environ.get('WATSOR_FLEET') == '1':
             # one sharded step spanning every chip (SPMD over the mesh)
             # instead of one detector task per chip
-            from watsor_tpu.detection.backend import FleetBackend
+            from watsor_tpu.detection.backend import (FleetBackend,
+                                                      auto_min_bucket)
             from watsor_tpu.detection.detector import ObjectDetector
             from watsor_tpu.parallel.fleet import FleetDetector
             from watsor_tpu.parallel.mesh import make_mesh
@@ -421,17 +422,23 @@ class Application:
             self._detectors = [ObjectDetector(
                 'detector-fleet', any_queue, buffers,
                 FleetBackend(fleet, camera_tables=tables,
-                             zone_refiners=refiners),
+                             zone_refiners=refiners,
+                             min_batch=auto_min_bucket(
+                                 mesh.devices.flat[0].platform,
+                                 len(self._cameras))),
                 max_batch=64)]
             return
         if backend_factory is None:
             from watsor_tpu.detection import JaxDetectorBackend
+            from watsor_tpu.detection.backend import auto_min_bucket
             tables = self._camera_tables if self._device_filters else None
             refiners = self._zone_refiners if self._device_filters else None
+            n_cameras = len(self._cameras)
             backend_factory = \
-                lambda device: JaxDetectorBackend(detector, device,
-                                                  camera_tables=tables,
-                                                  zone_refiners=refiners)
+                lambda device: JaxDetectorBackend(
+                    detector, device, camera_tables=tables,
+                    zone_refiners=refiners,
+                    min_batch=auto_min_bucket(device.platform, n_cameras))
         self._detectors = create_object_detectors(queues, buffers,
                                                   backend_factory)
 
