@@ -75,6 +75,23 @@ def test_min_bucket_env(monkeypatch):
     assert fake.seen == [16, 16], fake.seen
 
 
+def test_min_bucket_env_malformed_warns_and_defaults(monkeypatch, caplog):
+    """A malformed WATSOR_MIN_BUCKET ('auto', '1.5') must not crash
+    detector startup — warn and fall back to 1, matching the
+    warn-and-skip posture of WATSOR_DEVICE_POOL parsing."""
+    import logging
+
+    for bad in ('auto', '1.5'):
+        monkeypatch.setenv('WATSOR_MIN_BUCKET', bad)
+        fake = _FakeDetector()
+        with caplog.at_level(logging.WARNING, 'watsor_tpu.detector'):
+            backend = JaxDetectorBackend(fake)
+        assert any('WATSOR_MIN_BUCKET' in r.message for r in caplog.records)
+        caplog.clear()
+        backend.detect_batch(np.zeros((3, 32, 32, 3), np.uint8))
+        assert fake.seen == [4], (bad, fake.seen)
+
+
 def test_default_unchanged():
     fake = _FakeDetector()
     backend = JaxDetectorBackend(fake)

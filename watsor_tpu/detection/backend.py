@@ -13,6 +13,7 @@ instead of CORAL_VISIBLE_DEVICES/CUDA_VISIBLE_DEVICES env plumbing
 (/root/reference/watsor/detection/devices.py).
 """
 
+import logging
 import threading
 from time import perf_counter
 from typing import Optional, Tuple
@@ -23,12 +24,35 @@ from watsor_tpu.runtime.frames import MAX_ZONES
 
 _BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
+# the packed transport encodes zone hits as a sum of 2**k weights in f32,
+# exact only while k < 24 (f32 mantissa) — guard the ceiling where the
+# bitmask is built (pack_zones) and where its width is configured
+assert MAX_ZONES <= 24, 'packed zone bitmask is f32-exact only up to 24 bits'
+
 
 def _bucket(n: int) -> int:
     for b in _BUCKETS:
         if n <= b:
             return b
     return ((n + 31) // 32) * 32
+
+
+def _min_bucket_env() -> int:
+    """Parse WATSOR_MIN_BUCKET with the same warn-and-fall-back posture as
+    resolve_device_pool: a malformed value ('auto', '1.5') must not crash
+    detector startup."""
+    import os
+
+    raw = os.environ.get('WATSOR_MIN_BUCKET', '') or ''
+    if not raw.strip():
+        return 1
+    try:
+        return int(raw)
+    except ValueError:
+        logging.getLogger('watsor_tpu.detector').warning(
+            'Ignoring malformed WATSOR_MIN_BUCKET=%r (want an integer); '
+            'using 1', raw)
+        return 1
 
 
 class _FilterTableStore:
@@ -153,6 +177,11 @@ def _make_packers():
 
     @jax.jit
     def pack_zones(boxes, scores, classes, valid, zones_hit):
+        # each zone becomes one bit of an f32-carried integer; beyond 24
+        # bits the sum is no longer exactly representable and zone bits
+        # would silently corrupt in transit
+        assert zones_hit.shape[-1] <= 24, \
+            'zone bitmask exceeds f32-exact range (24 bits)'
         weights = 2.0 ** jnp.arange(zones_hit.shape[-1], dtype=jnp.float32)
         zbits = jnp.sum(zones_hit.astype(jnp.float32) * weights, axis=-1)
         body = _body(boxes, scores, classes, zbits)
@@ -277,7 +306,7 @@ class FleetBackend(DetectorBackend):
         # program shape for an N-camera deployment instead of inline-
         # compiling each smaller bucket the first time it occurs
         if min_batch is None:
-            min_batch = int(os.environ.get('WATSOR_MIN_BUCKET', 1) or 1)
+            min_batch = _min_bucket_env()
         self._min_bucket = min(_bucket(max(int(min_batch), 1)),
                                _bucket(max_batch))
         self.device_name = 'TPU MESH {}'.format(
@@ -407,7 +436,7 @@ class JaxDetectorBackend(DetectorBackend):
         # compile stalls the whole pipeline for minutes. Padding rows are
         # a few hundred KB of H2D and identical device work per step.
         if min_batch is None:
-            min_batch = int(os.environ.get('WATSOR_MIN_BUCKET', 1) or 1)
+            min_batch = _min_bucket_env()
         self._min_bucket = min(_bucket(max(int(min_batch), 1)),
                                _bucket(max_batch))
         # packed single-fetch results (default on; WATSOR_PACKED_FETCH=0
