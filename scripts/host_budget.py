@@ -238,6 +238,38 @@ def bench_jpeg():
     return _timeit(step, 30)
 
 
+def _viewer_image():
+    """A camera-like 1080p scene (gradient + blocks), not white noise —
+    noise has no spatial redundancy and pays a pathological DCT/entropy
+    cost no real camera ever does. The legacy jpeg_1080p row keeps the
+    noise input for continuity with earlier rounds."""
+    rng = np.random.RandomState(0)
+    y = np.linspace(0, 255, H, dtype=np.float32)[:, None]
+    x = np.linspace(0, 255, W, dtype=np.float32)[None, :]
+    img = np.stack([y + 0 * x, 0 * y + x, (y + x) / 2], axis=-1)
+    for _ in range(12):                      # objects
+        cy, cx = rng.randint(0, H - 160), rng.randint(0, W - 240)
+        img[cy:cy + 160, cx:cx + 240] = rng.randint(0, 255, 3)
+    img += rng.normal(0, 4, img.shape)       # sensor noise
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def bench_jpeg_viewer(out_hw=None, n=60):
+    """Per-frame cost of one MJPEG viewer variant on the persistent
+    native encoder (the production path after the round-5 viewer-path
+    work: context reuse + downscale fused into the swscale pass)."""
+    from watsor_tpu.output.http_stream import _scaled_encode
+
+    image = _viewer_image()
+    encode = _scaled_encode(out_hw, 80)
+    encode(image)                             # open the context
+
+    def step(t):
+        encode(image)
+
+    return _timeit(step, n)
+
+
 def main():
     rows = {}
     rows['sieve_tracker'] = bench_sieve(device_filters=True)
@@ -249,6 +281,10 @@ def main():
     rows['mqtt_states'] = bench_mqtt(details=False)
     rows['mqtt_details'] = bench_mqtt(details=True)
     rows['jpeg_1080p'] = bench_jpeg()
+    rows['jpeg_1080p_persistent'] = bench_jpeg_viewer(None)
+    rows['jpeg_scale2_960x540'] = bench_jpeg_viewer((540, 960))
+    rows['jpeg_scale4_480x270'] = bench_jpeg_viewer((270, 480))
+    rows['jpeg_detect_300x300'] = bench_jpeg_viewer((300, 300))
 
     # steady-state per-camera per-frame host cost on the serving path
     # (device filters on, MQTT states, snapshot no-copy; JPEG only for

@@ -38,15 +38,20 @@ JPEG_SOI = b'\xff\xd8'
 
 
 def counting_cache():
-    """The PRODUCTION cache with only its encode function instrumented —
-    every cache miss (and nothing else) increments the counter."""
+    """The PRODUCTION cache set with only the default variant's encode
+    function instrumented — every cache miss (and nothing else) increments
+    the counter."""
+    from watsor_tpu.output.http_stream import JpegCacheSet
+
     counter = {'encodes': 0}
 
     def counting_encode(image):
         counter['encodes'] += 1       # called under the cache lock
         return default_jpeg_encode(image)
 
-    return _JpegCache(counting_encode), counter
+    cache_set = JpegCacheSet()
+    cache_set._caches[(None, 80)] = _JpegCache(counting_encode)
+    return cache_set, counter
 
 
 @pytest.fixture(scope='module')

@@ -91,6 +91,15 @@ def load():
         lib.wt_jpeg_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int]
+        lib.wt_jpeg_ctx_open.restype = ctypes.c_void_p
+        lib.wt_jpeg_ctx_open.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.wt_jpeg_ctx_encode.restype = ctypes.c_int
+        lib.wt_jpeg_ctx_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.wt_jpeg_ctx_close.restype = None
+        lib.wt_jpeg_ctx_close.argtypes = [ctypes.c_void_p]
         lib.wt_version.restype = ctypes.c_char_p
         lib.wt_log_install.restype = None
         lib.wt_log_next.restype = ctypes.c_int
@@ -283,3 +292,58 @@ def jpeg_encode(rgb: np.ndarray, quality=80) -> bytes:
     if n < 0:
         raise IOError('jpeg encode error {}'.format(n))
     return out.raw[:n]
+
+
+class JpegEncoder:
+    """Persistent streaming JPEG encoder: codec + swscale contexts built
+    once and reused per frame, with optional downscale fused into the same
+    swscale pass — the MJPEG viewer hot path (the reference re-encodes at
+    source resolution per frame with cv2.imencode,
+    /root/reference/watsor/output/video.py:118-149).
+
+    Not thread-safe: callers (the per-camera JPEG cache) serialize encodes
+    on one handle. The ctypes call releases the GIL, so distinct cameras'
+    encoders run in parallel on multi-core hosts.
+    """
+
+    def __init__(self, src_hw, out_hw=None, quality=80):
+        self._lib = load()
+        self._src_hw = tuple(int(v) for v in src_hw)
+        h, w = self._src_hw
+        oh, ow = (h, w) if out_hw is None else \
+            (int(out_hw[0]), int(out_hw[1]))
+        self._handle = self._lib.wt_jpeg_ctx_open(w, h, ow, oh,
+                                                  int(quality))
+        if not self._handle:
+            raise IOError('jpeg encoder open failed ({}x{} -> {}x{})'
+                          .format(w, h, ow, oh))
+        self._cap = max(w * h * 3, ow * oh * 3) + 65536
+        self._out = ctypes.create_string_buffer(self._cap)
+
+    def encode(self, rgb: np.ndarray) -> bytes:
+        if rgb.shape[:2] != self._src_hw:
+            raise ValueError('frame shape {} != encoder source {}'
+                             .format(rgb.shape[:2], self._src_hw))
+        if not rgb.flags['C_CONTIGUOUS']:
+            rgb = np.ascontiguousarray(rgb)
+        n = self._lib.wt_jpeg_ctx_encode(
+            self._handle, rgb.ctypes.data_as(ctypes.c_void_p), self._out,
+            self._cap)
+        if n < 0:
+            raise IOError('jpeg encode error {}'.format(n))
+        return self._out.raw[:n]
+
+    # encode() doubles as __call__ so the instance drops into any slot
+    # expecting a plain encode function (e.g. _JpegCache)
+    __call__ = encode
+
+    def close(self):
+        if self._handle:
+            self._lib.wt_jpeg_ctx_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

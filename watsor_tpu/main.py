@@ -190,10 +190,27 @@ class Application:
         from watsor_tpu.io.video import VideoDecoder, decoder_args_from_argv
         args = decoder_args_from_argv(camera_config['ffmpeg']['decoder'])
         if args.unknown:
+            if os.environ.get('WATSOR_FFMPEG_FALLBACK', '') == '1':
+                # compat escape hatch: flags the native translation can't
+                # honor run through a REAL ffmpeg subprocess with the
+                # user's verbatim argv (the reference's own mechanism,
+                # stream/ffmpeg.py:41-42) — any ffmpeg option/device/
+                # filter then behaves exactly as upstream
+                _LOGGER.warning(
+                    'Camera %s: ffmpeg decoder flags not translated by '
+                    'the native runtime (%s); WATSOR_FFMPEG_FALLBACK=1 — '
+                    'spawning a real ffmpeg subprocess with the verbatim '
+                    'argv', camera_name, ' '.join(args.unknown))
+                from watsor_tpu.io.video import FallbackVideoDecoder
+                return FallbackVideoDecoder(
+                    camera_name, frame_queue, buffer_in, url,
+                    argv=camera_config['ffmpeg']['decoder'],
+                    rate_limiter=rate_limiter)
             _LOGGER.warning(
                 'Camera %s: ffmpeg decoder flags not translated by the '
-                'native runtime (ignored): %s', camera_name,
-                ' '.join(args.unknown))
+                'native runtime (ignored): %s (set WATSOR_FFMPEG_FALLBACK'
+                '=1 to run them through a real ffmpeg subprocess)',
+                camera_name, ' '.join(args.unknown))
         return VideoDecoder(camera_name, frame_queue, buffer_in, url,
                             options=args.options,
                             realtime=args.realtime or None,
@@ -566,7 +583,7 @@ class Application:
             elif path.startswith('/snapshot/'):
                 response = self._snapshot_response(path)
             elif path.startswith('/video/mjpeg/'):
-                response = self._mjpeg_response(path)
+                response = self._mjpeg_response(path, request)
             elif path.startswith('/video/mpegts/'):
                 response = self._mpegts_response(path)
             else:
@@ -633,21 +650,44 @@ class Application:
             return Response('No snapshot yet', status=404)
         return Response(data, mimetype='image/jpeg')
 
-    def _mjpeg_response(self, path):
+    def _mjpeg_response(self, path, request=None):
         from werkzeug.wrappers import Response
-        from watsor_tpu.output.http_stream import MotionJpeg, _JpegCache, \
-            default_jpeg_encode
+        from watsor_tpu.output.http_stream import JpegCacheSet, MotionJpeg
         camera = self._camera_by_name(path.rsplit('/', 1)[-1])
         if camera is None:
             return Response('Unknown camera', status=404)
-        # ONE JPEG cache per camera shared by all viewers: each frame is
-        # encoded once regardless of viewer count (the reference's shared
-        # epoch-keyed cache, output/video.py:120-132)
+        # viewer knobs (all optional; extensions over the reference's
+        # fixed source-rate source-resolution stream, output/video.py:118):
+        #   ?scale=N      serve at 1/N resolution (downscale fused into the
+        #                 persistent native encoder's swscale pass)
+        #   ?res=detect   serve at the camera's detection resolution
+        #   ?fps=F        cap this viewer's delivery rate
+        #   ?quality=Q    JPEG quality 1-100 (default 80)
+        args = request.args if request is not None else {}
+        out_hw, max_fps, quality = None, None, 80
+        try:
+            src_h, src_w = camera.buffer_out.arena.shape[1:3]
+            if args.get('res') == 'detect' and \
+                    camera.buffer_in.detect_arena is not None:
+                out_hw = camera.buffer_in.detect_arena.shape[1:3]
+            elif 'scale' in args:
+                n = max(1, min(16, int(args['scale'])))
+                out_hw = (src_h // n, src_w // n)
+            if 'fps' in args:
+                max_fps = max(0.1, min(240.0, float(args['fps'])))
+            if 'quality' in args:
+                quality = max(1, min(100, int(args['quality'])))
+        except (TypeError, ValueError):
+            return Response('Bad query parameter', status=400)
+        # ONE JPEG cache per camera per (resolution, quality) variant,
+        # shared by all viewers of that variant: each frame is encoded at
+        # most once per variant regardless of viewer count (the reference's
+        # shared epoch-keyed cache, output/video.py:120-132)
         cache = self._jpeg_caches.setdefault(
-            camera.name, _JpegCache(default_jpeg_encode))
+            camera.name, JpegCacheSet()).get_cache(out_hw, quality)
         stream = MotionJpeg(camera.name + '-mjpeg', camera.visual_effects,
                             camera.buffer_out, jpeg_cache=cache,
-                            stop_event=self._stop_main)
+                            stop_event=self._stop_main, max_fps=max_fps)
         response = Response(iter(stream), mimetype=stream.mime_type)
         response.call_on_close(stream.close)
         return response

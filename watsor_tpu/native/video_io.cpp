@@ -602,51 +602,112 @@ extern "C" int wt_encoder_close(WtEncoder* e) {
 
 // ---------------------------------------------------------------------------
 // JPEG encode (MJPEG codec): RGB24 -> JPEG bytes, for MJPEG HTTP streaming
-// and snapshots. Returns byte count, or negative on error.
+// and snapshots.
+//
+// The streaming hot path uses a PERSISTENT encoder (wt_jpeg_ctx_*): codec +
+// swscale contexts and the YUV staging frame are built once per (src, dst,
+// quality) and reused for every frame, and the swscale pass DOWNSCALES and
+// color-converts in one step — so a viewer served at 480x270 from a 1080p
+// source pays one bandwidth-bound sws read of the frame plus a small DCT,
+// not a full-res encode. The reference encodes per frame per viewer with
+// cv2.imencode at source resolution (/root/reference/watsor/output/
+// video.py:118-149); this is the rebuild's improvement on that posture.
+// Handles are NOT thread-safe; the Python JPEG cache serializes per handle.
 // ---------------------------------------------------------------------------
 
-extern "C" int wt_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
-                              uint8_t* out, int out_cap) {
+struct JpegCtx {
+    AVCodecContext* codec = nullptr;
+    SwsContext* sws = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+    int src_w = 0, src_h = 0;
+    int64_t next_pts = 0;
+};
+
+extern "C" void wt_jpeg_ctx_close(void* handle) {
+    JpegCtx* c = static_cast<JpegCtx*>(handle);
+    if (!c) return;
+    if (c->pkt) av_packet_free(&c->pkt);
+    if (c->frame) av_frame_free(&c->frame);
+    if (c->sws) sws_freeContext(c->sws);
+    if (c->codec) avcodec_free_context(&c->codec);
+    delete c;
+}
+
+extern "C" void* wt_jpeg_ctx_open(int src_w, int src_h, int out_w, int out_h,
+                                  int quality) {
     const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
-    if (!codec) return -1;
-    AVCodecContext* ctx = avcodec_alloc_context3(codec);
-    ctx->width = w;
-    ctx->height = h;
-    ctx->pix_fmt = AV_PIX_FMT_YUVJ420P;
-    ctx->time_base = {1, 30};
-    ctx->flags |= AV_CODEC_FLAG_QSCALE;
+    if (!codec) return nullptr;
+    if (out_w <= 0) out_w = src_w;
+    if (out_h <= 0) out_h = src_h;
+    // MJPEG 4:2:0 wants even dimensions
+    out_w &= ~1;
+    out_h &= ~1;
+    JpegCtx* c = new JpegCtx();
+    c->src_w = src_w;
+    c->src_h = src_h;
+    c->codec = avcodec_alloc_context3(codec);
+    c->codec->width = out_w;
+    c->codec->height = out_h;
+    c->codec->pix_fmt = AV_PIX_FMT_YUVJ420P;
+    c->codec->time_base = {1, 30};
+    c->codec->flags |= AV_CODEC_FLAG_QSCALE;
     // map quality 1-100 to qscale 2-31 (lower = better)
     int q = 31 - (quality * 29) / 100;
     if (q < 2) q = 2;
-    ctx->global_quality = FF_QP2LAMBDA * q;
-    int err = avcodec_open2(ctx, codec, nullptr);
-    if (err < 0) { avcodec_free_context(&ctx); return err; }
-
-    AVFrame* frame = av_frame_alloc();
-    frame->format = ctx->pix_fmt;
-    frame->width = w;
-    frame->height = h;
-    av_frame_get_buffer(frame, 0);
-    SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
-                                     ctx->pix_fmt, SWS_BILINEAR,
-                                     nullptr, nullptr, nullptr);
-    const uint8_t* src[4] = {rgb, nullptr, nullptr, nullptr};
-    int src_stride[4] = {w * 3, 0, 0, 0};
-    sws_scale(sws, src, src_stride, 0, h, frame->data, frame->linesize);
-    sws_freeContext(sws);
-    frame->quality = ctx->global_quality;
-    frame->pts = 0;
-
-    AVPacket* pkt = av_packet_alloc();
-    int n = -1;
-    if (avcodec_send_frame(ctx, frame) >= 0 &&
-        avcodec_receive_packet(ctx, pkt) >= 0) {
-        n = pkt->size <= out_cap ? pkt->size : -2;
-        if (n > 0) std::memcpy(out, pkt->data, pkt->size);
+    c->codec->global_quality = FF_QP2LAMBDA * q;
+    if (avcodec_open2(c->codec, codec, nullptr) < 0) {
+        wt_jpeg_ctx_close(c);
+        return nullptr;
     }
-    av_packet_free(&pkt);
-    av_frame_free(&frame);
-    avcodec_free_context(&ctx);
+    c->frame = av_frame_alloc();
+    c->frame->format = c->codec->pix_fmt;
+    c->frame->width = out_w;
+    c->frame->height = out_h;
+    if (av_frame_get_buffer(c->frame, 0) < 0) {
+        wt_jpeg_ctx_close(c);
+        return nullptr;
+    }
+    c->sws = sws_getContext(src_w, src_h, AV_PIX_FMT_RGB24, out_w, out_h,
+                            c->codec->pix_fmt,
+                            (out_w < src_w || out_h < src_h) ? SWS_AREA
+                                                             : SWS_BILINEAR,
+                            nullptr, nullptr, nullptr);
+    c->pkt = av_packet_alloc();
+    if (!c->sws || !c->pkt) {
+        wt_jpeg_ctx_close(c);
+        return nullptr;
+    }
+    return c;
+}
+
+extern "C" int wt_jpeg_ctx_encode(void* handle, const uint8_t* rgb,
+                                  uint8_t* out, int out_cap) {
+    JpegCtx* c = static_cast<JpegCtx*>(handle);
+    if (!c) return -1;
+    const uint8_t* src[4] = {rgb, nullptr, nullptr, nullptr};
+    int src_stride[4] = {c->src_w * 3, 0, 0, 0};
+    if (av_frame_make_writable(c->frame) < 0) return -3;
+    sws_scale(c->sws, src, src_stride, 0, c->src_h, c->frame->data,
+              c->frame->linesize);
+    c->frame->quality = c->codec->global_quality;
+    c->frame->pts = c->next_pts++;
+    int err = avcodec_send_frame(c->codec, c->frame);
+    if (err < 0) return err;
+    err = avcodec_receive_packet(c->codec, c->pkt);
+    if (err < 0) return err;
+    int n = c->pkt->size <= out_cap ? c->pkt->size : -2;
+    if (n > 0) std::memcpy(out, c->pkt->data, c->pkt->size);
+    av_packet_unref(c->pkt);
+    return n;
+}
+
+extern "C" int wt_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
+                              uint8_t* out, int out_cap) {
+    void* c = wt_jpeg_ctx_open(w, h, w, h, quality);
+    if (!c) return -1;
+    int n = wt_jpeg_ctx_encode(c, rgb, out, out_cap);
+    wt_jpeg_ctx_close(c);
     return n;
 }
 

@@ -11,6 +11,7 @@ an idle tick emits an empty multipart part as keep-alive.
 
 import threading
 from queue import Empty, Queue
+from time import monotonic
 
 from watsor_tpu.runtime.tasks import Stub, WorkPublish
 
@@ -45,6 +46,60 @@ def default_jpeg_encode(image):
         import cv2
         ok, data = cv2.imencode('.jpg', image[:, :, ::-1])
         return data.tobytes() if ok else b''
+
+
+def _scaled_encode(out_hw, quality):
+    """Encode callable for one (out_hw, quality) variant: a persistent
+    native encoder (downscale fused into its swscale pass) when the native
+    runtime is available, else cv2 resize + imencode."""
+    try:
+        from watsor_tpu.io.native import JpegEncoder
+    except Exception:
+        JpegEncoder = None
+
+    state = {}
+
+    def encode(image):
+        src_hw = image.shape[:2]
+        if JpegEncoder is not None:
+            enc = state.get('native')
+            if enc is None or enc._src_hw != src_hw:
+                try:
+                    state['native'] = enc = JpegEncoder(
+                        src_hw, out_hw=out_hw, quality=quality)
+                except Exception:
+                    state['native'] = enc = None
+            if enc is not None:
+                return enc.encode(image)
+        import cv2
+        if out_hw is not None and tuple(out_hw) != tuple(src_hw):
+            image = cv2.resize(image, (out_hw[1], out_hw[0]),
+                               interpolation=cv2.INTER_AREA)
+        ok, data = cv2.imencode('.jpg', image[:, :, ::-1],
+                                [cv2.IMWRITE_JPEG_QUALITY, quality])
+        return data.tobytes() if ok else b''
+
+    return encode
+
+
+class JpegCacheSet:
+    """Per-camera set of epoch-keyed JPEG caches, one per (out_hw, quality)
+    variant. All viewers of the same camera at the same variant share one
+    cache (encode-once-serve-many); distinct variants encode independently
+    but the downscaled ones are bandwidth-bound, not DCT-bound."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._caches = {}
+
+    def get_cache(self, out_hw=None, quality=80):
+        key = (None if out_hw is None else tuple(out_hw), int(quality))
+        with self._lock:
+            cache = self._caches.get(key)
+            if cache is None:
+                cache = _JpegCache(_scaled_encode(out_hw, quality))
+                self._caches[key] = cache
+            return cache
 
 
 class HttpStream(WorkPublish):
@@ -100,13 +155,23 @@ class HttpStream(WorkPublish):
 
 
 class MotionJpeg(HttpStream):
-    """multipart/x-mixed-replace JPEG stream."""
+    """multipart/x-mixed-replace JPEG stream.
+
+    ``max_fps`` caps this viewer's delivery (and, because the shared cache
+    is epoch-keyed, the encode rate when every viewer of the camera is
+    capped): frames arriving inside the interval are released immediately
+    without touching the encoder — a dashboard of many cameras at
+    ``?fps=10`` costs a third of the reference's always-source-rate
+    posture (/root/reference/watsor/output/video.py:118-149) before the
+    persistent-encoder and downscale savings."""
 
     def __init__(self, name, publisher, frame_buffer, jpeg_cache=None,
-                 stop_event=None):
+                 stop_event=None, max_fps=None):
         super().__init__(name, publisher, frame_buffer, stop_event)
         self._cache = jpeg_cache if jpeg_cache is not None \
             else _JpegCache(default_jpeg_encode)
+        self._interval = 1.0 / max_fps if max_fps else 0.0
+        self._last_emit = 0.0
 
     @property
     def mime_type(self):
@@ -114,10 +179,15 @@ class MotionJpeg(HttpStream):
             BOUNDARY.decode().lstrip('-')
 
     def _new_frame(self, frame, payload):
+        now = monotonic()
+        if self._interval and now - self._last_emit < self._interval:
+            frame.latch.next()        # skip: release without encoding
+            return
         try:
             data = self._cache.get(frame)
         finally:
             frame.latch.next()
+        self._last_emit = now
         self._chunk = (BOUNDARY + b'\r\n'
                        b'Content-Type: image/jpeg\r\n'
                        b'Content-Length: ' + str(len(data)).encode() +
