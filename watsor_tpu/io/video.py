@@ -626,6 +626,121 @@ class VideoDecoder(ReadDetectPublish):
         return True
 
 
+class _FFmpegProcess:
+    """A real ffmpeg subprocess run with the operator's VERBATIM argv,
+    rawvideo rgb24 piped into arena slots — the reference's own decode
+    mechanism (/root/reference/watsor/stream/ffmpeg.py:19-110, argv
+    assembled by config/loader.py:215-237). Same read_into/close interface
+    as native.Decoder so FallbackVideoDecoder is a drop-in head."""
+
+    def __init__(self, argv, width, height, binary=None):
+        import collections
+        import subprocess
+        import threading
+
+        self._nbytes = width * height * 3
+        cmd = list(argv)
+        binary = binary or os.environ.get('WATSOR_FFMPEG_BIN', 'ffmpeg')
+        if cmd and cmd[0] == 'ffmpeg':
+            cmd[0] = binary
+        self._proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            stdin=subprocess.DEVNULL, bufsize=0)
+        self._stderr_tail = collections.deque(maxlen=20)
+        self._pts = 0
+        thread = threading.Thread(target=self._drain_stderr, daemon=True,
+                                   name='ffmpeg-stderr')
+        thread.start()
+
+    def _drain_stderr(self):
+        log = logging.getLogger('watsor_tpu.ffmpeg')
+        try:
+            for line in iter(self._proc.stderr.readline, b''):
+                text = line.decode('utf-8', 'replace').rstrip()
+                if text:
+                    self._stderr_tail.append(text)
+                    log.debug('%s', text)
+        except ValueError:
+            pass                      # stderr closed during shutdown
+
+    def read_into(self, image, detect_plane=None):
+        """Fill one full-res frame (and the detect-resolution plane) from
+        the pipe. Returns a frame counter, or None on clean EOF; raises
+        IOError on a truncated frame / ffmpeg failure."""
+        if image.flags['C_CONTIGUOUS']:
+            buf = memoryview(image).cast('B')
+            scratch = None
+        else:                         # arena slots are contiguous; belt
+            scratch = bytearray(self._nbytes)
+            buf = memoryview(scratch)
+        got = 0
+        while got < self._nbytes:
+            n = self._proc.stdout.readinto(buf[got:])
+            if not n:
+                break
+            got += n
+        if got == 0:
+            rc = self._proc.wait()
+            if rc != 0:
+                raise IOError(
+                    'ffmpeg exited with status {}: {}'.format(
+                        rc, ' | '.join(self._stderr_tail) or '(no stderr)'))
+            return None               # clean EOF
+        if got < self._nbytes:
+            raise IOError(
+                'ffmpeg stream truncated mid-frame ({}/{} bytes): {}'
+                .format(got, self._nbytes,
+                        ' | '.join(self._stderr_tail) or '(no stderr)'))
+        if scratch is not None:
+            image[...] = np.frombuffer(scratch, np.uint8).reshape(
+                image.shape)
+        if detect_plane is not None:
+            import cv2
+            resized = cv2.resize(
+                image, (detect_plane.shape[1], detect_plane.shape[0]),
+                interpolation=cv2.INTER_LINEAR)
+            np.copyto(detect_plane, resized)
+        self._pts += 1
+        return self._pts
+
+    def close(self):
+        proc = self._proc
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=5)
+            except Exception:
+                proc.kill()
+                proc.wait()
+        for pipe in (proc.stdout, proc.stderr):
+            try:
+                pipe.close()
+            except Exception:
+                pass
+
+
+class FallbackVideoDecoder(VideoDecoder):
+    """Compat escape hatch (WATSOR_FFMPEG_FALLBACK=1): when the native
+    argv translation reports unknown flags, run the user's decoder argv
+    through a REAL ffmpeg binary verbatim — any option, device or filter
+    ffmpeg supports then behaves exactly as it does in the reference
+    (/root/reference/watsor/stream/ffmpeg.py:41-42). Costs a subprocess +
+    a raw-RGB pipe per camera; the in-process native decoder remains the
+    default."""
+
+    def __init__(self, name, frame_queue, frame_buffer, url, argv,
+                 stop_event=None, rate_limiter=None):
+        self._argv = list(argv)
+        super().__init__(name, frame_queue, frame_buffer, url,
+                         stop_event=stop_event, rate_limiter=rate_limiter,
+                         realtime=False)
+
+    def _open_decoder(self):
+        frame = self.frame_buffer.frames[0]
+        h, w = frame.image.shape[:2]
+        self._decoder = _FFmpegProcess(self._argv, w, h)
+
+
 class MpegTSRing:
     """Ring of MPEG-TS byte chunks with the same READY/PUBLISH fan-out
     protocol as video frames (the reference stores TS sections in a second
