@@ -12,7 +12,11 @@ ISOLATION with realistic 1080p inputs and 5 detections/frame:
   detector_stage       staging memcpy of one 300^2 detect plane
   detector_scatter     ObjectDetector._scatter per frame (zones path)
   snapshot_steady      Snapshot._new_frame, steady state (no image copy)
-  snapshot_copy        Snapshot._new_frame, worst case (6.2 MB copy/frame)
+  snapshot_copy        Snapshot._new_frame, adversarial sub-epsilon rising
+                       confidence — bounded by SNAPSHOT_EPSILON (round-5
+                       fix): copies only on a >epsilon improvement, so the
+                       old per-frame 6.2 MB copy cannot recur (<=100
+                       copies per 10 s TTL window even when forced)
   mqtt_states          MQTT._new_frame via real socket to the mini broker
   mqtt_details         same with per-detection details JSON enabled
   jpeg_1080p           JPEG encode of one 1080p frame (per VIEWED camera)
@@ -170,7 +174,9 @@ def bench_snapshot(worst_case):
     def step(t):
         recs = _detections(rng, t)
         if worst_case:
-            # strictly rising confidence: every frame replaces the stored
+            # strictly rising sub-epsilon confidence: before the round-5
+            # SNAPSHOT_EPSILON guard this replaced the stored 6.2 MB frame
+            # EVERY frame (0.70 ms); now it must cost ~the steady state
             recs['confidence'] += (t % 1000) * 1e-4
         else:
             recs['confidence'] = 0.3   # never beats the stored best
@@ -254,6 +260,22 @@ def _viewer_image():
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def bench_jpeg_scene_legacy(n=60):
+    """Like-for-like A/B partner for the persistent rows: the PRE-round-5
+    encode path (fresh codec+swscale contexts per frame, source resolution)
+    on the SAME camera-like scene, so the persistent-context win isn't
+    conflated with the noise-vs-scene content difference."""
+    from watsor_tpu.output.http_stream import default_jpeg_encode
+
+    image = _viewer_image()
+    default_jpeg_encode(image)
+
+    def step(t):
+        default_jpeg_encode(image)
+
+    return _timeit(step, n)
+
+
 def bench_jpeg_viewer(out_hw=None, n=60):
     """Per-frame cost of one MJPEG viewer variant on the persistent
     native encoder (the production path after the round-5 viewer-path
@@ -281,6 +303,7 @@ def main():
     rows['mqtt_states'] = bench_mqtt(details=False)
     rows['mqtt_details'] = bench_mqtt(details=True)
     rows['jpeg_1080p'] = bench_jpeg()
+    rows['jpeg_1080p_scene_legacy'] = bench_jpeg_scene_legacy()
     rows['jpeg_1080p_persistent'] = bench_jpeg_viewer(None)
     rows['jpeg_scale2_960x540'] = bench_jpeg_viewer((540, 960))
     rows['jpeg_scale4_480x270'] = bench_jpeg_viewer((270, 480))

@@ -142,3 +142,59 @@ def test_unknown_camera_404(app_url):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(app_url + '/video/mjpeg/nope')
     assert err.value.code == 404
+
+
+def _first_jpeg_shape(data):
+    import cv2
+    import numpy as np
+    import re
+    m = re.search(rb'\xff\xd8\xff.*?\xff\xd9', data, re.DOTALL)
+    assert m, 'no complete JPEG in stream'
+    img = cv2.imdecode(np.frombuffer(m.group(0), np.uint8),
+                       cv2.IMREAD_COLOR)
+    assert img is not None
+    return img.shape[:2]
+
+
+def test_mjpeg_scale_variant(app_url):
+    """?scale=2 serves at half resolution via the fused-downscale
+    persistent encoder (round-5 viewer path)."""
+    request = urllib.request.urlopen(
+        app_url + '/video/mjpeg/synth1?scale=2', timeout=10)
+    data = request.read(20000)
+    request.close()
+    # 160x120 camera, MJPEG rounds odd dims down to even
+    assert _first_jpeg_shape(data) == (60, 80)
+
+
+def test_mjpeg_detect_res_variant(app_url):
+    request = urllib.request.urlopen(
+        app_url + '/video/mjpeg/synth1?res=detect', timeout=10)
+    data = request.read(30000)
+    request.close()
+    # the detect plane is the MODEL input resolution (here SSD 300x300)
+    assert _first_jpeg_shape(data) == (300, 300)
+
+
+def test_mjpeg_fps_cap(app_url):
+    """?fps=2 bounds delivered (non-keep-alive) parts to ~2/s."""
+    import re
+    request = urllib.request.urlopen(
+        app_url + '/video/mjpeg/synth1?fps=2', timeout=10)
+    t0 = time.time()
+    data = b''
+    while time.time() - t0 < 2.5:
+        data += request.read(2048)
+    request.close()
+    elapsed = time.time() - t0
+    frames = [int(n) for n in
+              re.findall(rb'Content-Length: (\d+)', data) if int(n) > 0]
+    assert len(frames) >= 1
+    assert len(frames) <= 2 * elapsed + 2, \
+        'fps cap not enforced: %d parts in %.1fs' % (len(frames), elapsed)
+
+
+def test_mjpeg_bad_query_param_400(app_url):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(app_url + '/video/mjpeg/synth1?scale=banana')
+    assert err.value.code == 400

@@ -74,3 +74,26 @@ def test_ttl_expiry_allows_lower_confidence(monkeypatch):
     finally:
         stop.set()
         keeper.join(5)
+
+
+def test_epsilon_bounds_copies():
+    """Sub-epsilon confidence improvements must NOT replace the stored
+    frame (the round-5 worst-case bound: copies <= (1-c0)/epsilon per TTL
+    window), while a >epsilon improvement still does."""
+    stop, buffer, queue, keeper = make_rig()
+    keeper.start()
+    try:
+        push(buffer, queue, keeper, 0, 1, 0.600, pixel=10)
+        copies = keeper.copies
+        assert copies == 1
+        # +0.004 < epsilon (0.01): better, but not meaningfully — no copy
+        push(buffer, queue, keeper, 1, 1, 0.604, pixel=20)
+        assert keeper.copies == copies
+        assert keeper.get('person') == b'JPEG' + bytes([10])
+        # +0.02 > epsilon: genuine improvement — copy
+        push(buffer, queue, keeper, 2, 1, 0.620, pixel=30)
+        assert keeper.copies == copies + 1
+        assert keeper.get('person') == b'JPEG' + bytes([30])
+    finally:
+        stop.set()
+        keeper.join(5)
