@@ -22,9 +22,12 @@ test-fast: native
 test-slow: native
 	bash scripts/test_slow.sh
 
+# line coverage via the in-tree sys.monitoring tool (scripts/pycov.py) —
+# this rig has no coverage.py/pytest-cov and installs are off-limits.
+# Fast tier only (the slow tier runs one-file-per-process; see
+# scripts/test_slow.sh). Writes COVERAGE.json.
 coverage: native
-	$(PYTHON) -m pytest tests/ -q --cov=watsor_tpu --cov-report=term-missing \
-	  || $(PYTHON) -m pytest tests/ -q
+	$(PYTHON) -m pytest tests/ -q -m "not slow" -p scripts.pycov
 
 bench: native
 	$(PYTHON) bench.py
