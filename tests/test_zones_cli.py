@@ -36,3 +36,30 @@ def test_zones_cli_empty_mask(tmp_path, capsys):
     cv2.imwrite(mask, image)
     zones.main(['-m', mask])
     assert 'No zones found' in capsys.readouterr().out
+
+
+def test_zones_cli_show_falls_back_headless(tmp_path, capsys,
+                                            monkeypatch):
+    """--show on a headless host (no DISPLAY) degrades to the file-output
+    hint instead of crashing in cv2.imshow."""
+    monkeypatch.delenv('DISPLAY', raising=False)
+    monkeypatch.delenv('WAYLAND_DISPLAY', raising=False)
+    mask = str(tmp_path / 'mask.png')
+    _mask_png(mask)
+    zones.main(['-m', mask, '--show'])
+    assert 'No display available' in capsys.readouterr().out
+
+
+def test_zones_cli_show_uses_window_when_display(tmp_path, capsys,
+                                                 monkeypatch):
+    shown = {}
+    monkeypatch.setenv('DISPLAY', ':0')
+    monkeypatch.setattr(zones.cv2, 'imshow',
+                        lambda title, img: shown.update(shape=img.shape))
+    monkeypatch.setattr(zones.cv2, 'waitKey', lambda n: 0)
+    monkeypatch.setattr(zones.cv2, 'destroyAllWindows', lambda: None)
+    mask = str(tmp_path / 'mask.png')
+    _mask_png(mask)
+    zones.main(['-m', mask, '--show'])
+    assert shown['shape'][:2] == (120, 160)
+    assert 'No display available' not in capsys.readouterr().out

@@ -2,11 +2,13 @@
 annotated copy with zone indices.
 
 Operator tooling parity with the reference's zones tool
-(/root/reference/watsor/zones.py), re-worked for headless hosts: instead of
-an interactive window it prints the zone table and writes a numbered
-overlay image.
+(/root/reference/watsor/zones.py:42-58, which shows the mask in a cv2
+window), re-worked for headless hosts: it prints the zone table and writes
+a numbered overlay image; ``--show`` additionally opens the reference's
+interactive window when a display is available (falls back to the file
+output with a warning when not).
 
-    python -m watsor_tpu.zones -m mask.png [-o annotated.png]
+    python -m watsor_tpu.zones -m mask.png [-o annotated.png] [--show]
 """
 
 import argparse
@@ -45,8 +47,11 @@ def main(argv=None):
                                                  'a camera mask')
     parser.add_argument('-m', '--mask', required=True, help='mask PNG file')
     parser.add_argument('-o', '--output', help='write annotated image here')
+    parser.add_argument('--show', action='store_true',
+                        help='open the annotated mask in a window (needs '
+                             'a display; the reference tool\'s behavior)')
     args = parser.parse_args(argv)
-    rows, _ = annotate(args.mask, args.output)
+    rows, canvas = annotate(args.mask, args.output)
     if not rows:
         print('No zones found (alpha channel fully transparent?)')
     for z, area, (cx, cy) in rows:
@@ -54,6 +59,28 @@ def main(argv=None):
             z, area, cx, cy))
     if args.output:
         print('Annotated image written to', args.output)
+    if args.show:
+        if show_window(canvas):
+            return
+        print('No display available for --show; use -o to write the '
+              'annotated image instead')
+
+
+def show_window(canvas, title='watsor zones'):
+    """The reference's interactive display (zones.py:42-58): show the
+    annotated mask until a key is pressed. Returns False on headless
+    hosts (no display / GUI-less OpenCV build) instead of raising."""
+    import os
+    if not os.environ.get('DISPLAY') and not os.environ.get(
+            'WAYLAND_DISPLAY'):
+        return False
+    try:
+        cv2.imshow(title, canvas)
+        cv2.waitKey(0)
+        cv2.destroyAllWindows()
+        return True
+    except cv2.error:
+        return False
 
 
 if __name__ == '__main__':
