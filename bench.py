@@ -34,6 +34,11 @@ import numpy as np
 
 BATCH = int(os.environ.get('BENCH_BATCH', 32))
 MEASURE_STEPS = int(os.environ.get('BENCH_STEPS', 30))
+# statistical honesty (round-5 VERDICT #4): every wall-clock rate is the
+# MEDIAN of BENCH_REPS independent repetitions, with {min,max,n} spread
+# attached, so tunnel variance (r03->r04 e2e drift 118.6->104.1 was link
+# noise) is distinguishable from a real regression
+BENCH_REPS = max(1, int(os.environ.get('BENCH_REPS', 3)))
 BASELINE_FPS = 120.0  # reference single-accelerator throughput
 
 CACHE_DIR = os.environ.get('JAX_COMPILATION_CACHE_DIR',
@@ -43,6 +48,16 @@ CACHE_DIR = os.environ.get('JAX_COMPILATION_CACHE_DIR',
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _reps(fn, n=BENCH_REPS):
+    """Run a timed experiment ``n`` times; return (median, spread-dict).
+    The spread rides the JSON record so tunnel/link variance is visible
+    next to every headline number."""
+    vals = [float(fn()) for _ in range(n)]
+    med = float(np.median(vals))
+    return med, {"median": round(med, 1), "min": round(min(vals), 1),
+                 "max": round(max(vals), 1), "n": n}
 
 
 def main():
@@ -86,11 +101,14 @@ def main():
     jax.block_until_ready(step(params, buffers[0]))
     _log('bench: warm in {:.1f}s'.format(perf_counter() - t0))
 
-    # headline: device-resident sustained throughput
-    t0 = perf_counter()
-    outs = [step(params, buffers[i % 4]) for i in range(MEASURE_STEPS)]
-    jax.block_until_ready(outs[-1])
-    device_fps = BATCH * MEASURE_STEPS / (perf_counter() - t0)
+    # headline: device-resident sustained throughput (median of BENCH_REPS)
+    def _device_leg():
+        t0 = perf_counter()
+        outs = [step(params, buffers[i % 4]) for i in range(MEASURE_STEPS)]
+        jax.block_until_ready(outs[-1])
+        return BATCH * MEASURE_STEPS / (perf_counter() - t0)
+
+    device_fps, device_spread = _reps(_device_leg)
 
     # p50 blocking step latency (device compute + one result round trip)
     lat = []
@@ -101,11 +119,15 @@ def main():
     p50_ms = float(np.percentile(lat, 50))
 
     # end-to-end including host->device transfer (tunnel-bound here)
-    t0 = perf_counter()
-    for i in range(5):
-        out = step(params, jax.device_put(host_frames, device))
-    jax.block_until_ready(out)
-    e2e_fps = BATCH * 5 / (perf_counter() - t0)
+    def _e2e_leg():
+        t0 = perf_counter()
+        out = None
+        for i in range(5):
+            out = step(params, jax.device_put(host_frames, device))
+        jax.block_until_ready(out)
+        return BATCH * 5 / (perf_counter() - t0)
+
+    e2e_fps, e2e_spread = _reps(_e2e_leg)
 
     # pipelined e2e: fresh uint8 in -> detections out with H2D overlapping
     # compute (double-buffered dispatch, the production detector's driving
@@ -116,15 +138,19 @@ def main():
     staging = [host_frames.copy(), host_frames.copy()]
     backend.detect_batch(staging[0])          # warm the backend path
     steps = 10
-    t0 = perf_counter()
-    inflight = None
-    for i in range(steps):
-        handle = backend.dispatch(staging[i % 2])
-        if inflight is not None:
-            backend.resolve(inflight)
-        inflight = handle
-    backend.resolve(inflight)
-    e2e_pipelined_fps = BATCH * steps / (perf_counter() - t0)
+
+    def _pipelined_leg():
+        t0 = perf_counter()
+        inflight = None
+        for i in range(steps):
+            handle = backend.dispatch(staging[i % 2])
+            if inflight is not None:
+                backend.resolve(inflight)
+            inflight = handle
+        backend.resolve(inflight)
+        return BATCH * steps / (perf_counter() - t0)
+
+    e2e_pipelined_fps, pipelined_spread = _reps(_pipelined_leg)
     t0 = perf_counter()
     jax.device_put(host_frames, device).block_until_ready()
     h2d_ms = (perf_counter() - t0) * 1000.0
@@ -139,6 +165,8 @@ def main():
         "e2e_tunnel_fps": round(e2e_fps, 1),
         "e2e_pipelined_fps": round(e2e_pipelined_fps, 1),
         "h2d_ms": round(h2d_ms, 1),
+        "spread": {"value": device_spread, "e2e_tunnel_fps": e2e_spread,
+                   "e2e_pipelined_fps": pipelined_spread},
         "device": str(device),
     }
 
