@@ -198,3 +198,18 @@ def test_mjpeg_bad_query_param_400(app_url):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(app_url + '/video/mjpeg/synth1?scale=banana')
     assert err.value.code == 400
+
+
+def test_metrics_prometheus_format(app_url):
+    body = _get(app_url + '/metrics?format=prometheus').decode()
+    assert '# TYPE watsor_camera_fps gauge' in body
+    assert 'watsor_camera_fps{camera="synth1",stage="decoder"}' in body
+    assert 'watsor_detector_inference_ms{' in body
+    assert 'watsor_detector_latency_ms{' in body and 'quantile="p95"' in body
+    # every sample line parses as <name>{<labels>} <float>
+    for line in body.strip().splitlines():
+        if line.startswith('#'):
+            continue
+        name_labels, value = line.rsplit(' ', 1)
+        float(value)
+        assert name_labels.endswith('}') and '{' in name_labels

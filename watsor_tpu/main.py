@@ -90,6 +90,53 @@ def detector_spec_from_config(config, args):
     return model_name, watched or None, config.get('nms')
 
 
+def _prometheus_metrics(data):
+    """Render the /metrics JSON (reference shape) as Prometheus text
+    exposition format — a watsor-tpu extension (`?format=prometheus`)
+    for scrape-based monitoring; the JSON default stays byte-compatible
+    with the reference's consumers (main.py:221-253)."""
+    lines = []
+
+    def gauge(name, help_text, samples):
+        lines.append('# HELP {} {}'.format(name, help_text))
+        lines.append('# TYPE {} gauge'.format(name))
+        for labels, value in samples:
+            label_str = ','.join('{}="{}"'.format(k, v)
+                                 for k, v in labels.items())
+            lines.append('{}{{{}}} {}'.format(name, label_str, value))
+
+    cameras = data.get('cameras', [])
+    gauge('watsor_camera_fps', 'Frames per second per pipeline stage',
+          [({'camera': c['name'], 'stage': stage}, value)
+           for c in cameras for stage, value in c['fps'].items()])
+    for field, help_text in (('buffer_in', 'Input frame buffer fullness, '
+                                           'percent'),
+                             ('buffer_out', 'Output frame buffer '
+                                            'fullness, percent')):
+        gauge('watsor_camera_{}_percent'.format(field), help_text,
+              [({'camera': c['name']}, c[field]) for c in cameras])
+    gauge('watsor_camera_latency_ms',
+          'Frame capture to stage completion latency, milliseconds',
+          [({'camera': c['name'], 'stage': stage, 'quantile': q}, value)
+           for c in cameras
+           for stage, percentiles in c.get('latency_ms', {}).items()
+           for q, value in percentiles.items()])
+
+    detectors = data.get('detectors', [])
+    gauge('watsor_detector_fps', 'Detector throughput, frames per second',
+          [({'detector': d['name']}, d['fps']) for d in detectors])
+    gauge('watsor_detector_inference_ms',
+          'Inference time per frame, milliseconds',
+          [({'detector': d['name']}, d['inference_time'])
+           for d in detectors])
+    gauge('watsor_detector_latency_ms',
+          'Frame capture to detections-in-header latency, milliseconds',
+          [({'detector': d['name'], 'quantile': q},
+            d['latency_ms_' + q]) for d in detectors
+           for q in ('p50', 'p95')])
+    return '\n'.join(lines) + '\n'
+
+
 class Application:
     """Builds and runs the whole graph from a validated config."""
 
@@ -576,8 +623,17 @@ class Application:
             elif path == '/health':
                 response = Response('UP', mimetype='text/plain')
             elif path == '/metrics':
-                response = Response(json.dumps(self._metrics(), indent=4),
-                                    mimetype='application/json')
+                # reference JSON shape by default; ?format=prometheus
+                # serves the same data in the Prometheus text exposition
+                # format (a watsor-tpu extension for scrape-based ops)
+                if request.args.get('format') == 'prometheus':
+                    response = Response(
+                        _prometheus_metrics(self._metrics()),
+                        mimetype='text/plain; version=0.0.4')
+                else:
+                    response = Response(
+                        json.dumps(self._metrics(), indent=4),
+                        mimetype='application/json')
             elif path == '/profiler':
                 response = self._profiler_response(request)
             elif path.startswith('/snapshot/'):
