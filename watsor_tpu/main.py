@@ -59,7 +59,73 @@ def _parse_commandline_arguments(argv=None):
     parser.add_argument('--log-level',
                         default=os.environ.get('LOG_LEVEL', 'INFO'),
                         help='logging level')
+    parser.add_argument('--check-config', action='store_true',
+                        help='validate the configuration (schema, secrets, '
+                             'masks, model name, decoder argv translation) '
+                             'and exit 0/1 without starting — for CI and '
+                             'k8s init containers')
     return parser.parse_args(argv)
+
+
+def check_config(args):
+    """Validate everything startup would reject, without starting:
+    schema + secrets (config loader), the model name, every camera's
+    mask file/alpha channel, and the decoder argv translation (reporting
+    which flags would need WATSOR_FFMPEG_FALLBACK=1). Returns the number
+    of problems found and prints a human report."""
+    problems = []
+    from watsor_tpu.config import normalize, parse, validate
+    try:
+        config = normalize(validate(parse(args.config)),
+                           os.path.dirname(os.path.abspath(args.config)))
+    except Exception as exc:
+        print('config: INVALID\n{}'.format(exc))
+        return 1
+    print('config: schema ok ({} camera(s))'.format(len(config['cameras'])))
+
+    try:
+        model_name, watched, nms = detector_spec_from_config(config, args)
+        print('model: {} (watched labels: {}, nms: {})'.format(
+            model_name, sorted(watched) if watched else 'all',
+            nms or 'default'))
+    except SystemExit as exc:
+        problems.append(str(exc))
+
+    from watsor_tpu.io.video import decoder_args_from_argv
+    for camera in config['cameras']:
+        name = next(iter(camera))
+        camera_config = camera[name]
+        mask = camera_config.get('mask')
+        if mask:
+            try:
+                import cv2
+                from watsor_tpu.filters.mask import (ZoneMask,
+                                                     get_alpha_channel)
+                image = cv2.imread(mask, cv2.IMREAD_UNCHANGED)
+                if image is None:
+                    raise IOError('unreadable mask file {}'.format(mask))
+                alpha = get_alpha_channel(image)
+                zones = ZoneMask(alpha, alpha.shape + (3,)).num_zones
+                print('camera {}: mask ok ({} zone(s))'.format(name, zones))
+            except Exception as exc:
+                problems.append('camera {}: mask: {}'.format(name, exc))
+        decoder_argv = camera_config.get('ffmpeg', {}).get('decoder', [])
+        try:
+            translated = decoder_args_from_argv(decoder_argv)
+            if translated.unknown:
+                print('camera {}: decoder flags not natively translated: '
+                      '{} (needs WATSOR_FFMPEG_FALLBACK=1)'.format(
+                          name, ' '.join(translated.unknown)))
+            else:
+                print('camera {}: decoder argv ok'.format(name))
+        except Exception as exc:
+            problems.append('camera {}: decoder argv: {}'.format(name, exc))
+
+    for problem in problems:
+        print('PROBLEM: {}'.format(problem))
+    print('check-config: {}'.format(
+        'OK' if not problems else '{} problem(s)'.format(len(problems))))
+    return len(problems)
 
 
 def detector_spec_from_config(config, args):
@@ -871,7 +937,10 @@ class Application:
 
 
 def main(argv=None):
-    Application(_parse_commandline_arguments(argv)).run()
+    args = _parse_commandline_arguments(argv)
+    if args.check_config:
+        raise SystemExit(1 if check_config(args) else 0)
+    Application(args).run()
 
 
 if __name__ == '__main__':
