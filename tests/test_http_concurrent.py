@@ -230,3 +230,37 @@ def test_viewer_churn_releases_slots_and_subscriptions(app_rig):
     assert cam['buffer_out'] < 90, (
         'out ring starving after viewer churn: {}% full'
         .format(cam['buffer_out']))
+
+
+def test_jpeg_cache_set_evicts_lru_variants():
+    """The per-camera variant map is bounded: exceeding max_variants
+    evicts the least-recently-used cache and closes its encoder; a
+    re-request of an evicted variant rebuilds it (a client sweeping
+    ?quality values must not pin unbounded native contexts)."""
+    from watsor_tpu.output.http_stream import JpegCacheSet
+
+    cache_set = JpegCacheSet(max_variants=3)
+    first = cache_set.get_cache(None, 80)
+    for q in (81, 82):
+        cache_set.get_cache(None, q)
+    assert len(cache_set._caches) == 3
+    cache_set.get_cache(None, 80)           # refresh LRU position of 80
+    cache_set.get_cache(None, 83)           # evicts 81, not 80
+    assert len(cache_set._caches) == 3
+    assert (None, 81) not in cache_set._caches
+    assert cache_set.get_cache(None, 80) is first
+    # evicted variant rebuilds cleanly
+    rebuilt = cache_set.get_cache((64, 64), 81)
+    assert rebuilt is not cache_set.get_cache(None, 80)
+    # encoding still works on a cache whose encoder was closed by
+    # eviction (it rebuilds its native context lazily)
+    import numpy as np
+    evicted = cache_set.get_cache(None, 90)  # evict another
+    image = np.zeros((32, 48, 3), np.uint8)
+
+    class FakeFrame:
+        epoch = 1
+        image = None
+    FakeFrame.image = image
+    data = evicted.get(FakeFrame())
+    assert data[:2] == b'\xff\xd8'

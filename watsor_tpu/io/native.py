@@ -331,7 +331,9 @@ class JpegEncoder:
             self._cap)
         if n < 0:
             raise IOError('jpeg encode error {}'.format(n))
-        return self._out.raw[:n]
+        # slice the char array directly (exactly n bytes) — .raw[:n]
+        # would copy the whole multi-MB buffer first
+        return self._out[:n]
 
     # encode() doubles as __call__ so the instance drops into any slot
     # expecting a plain encode function (e.g. _JpegCache)

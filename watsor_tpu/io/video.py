@@ -703,6 +703,14 @@ class _FFmpegProcess:
         self._pts += 1
         return self._pts
 
+    def kill(self):
+        """Hard-stop from ANOTHER thread: kill the subprocess so a reader
+        blocked in ``read_into`` gets EOF and returns. Safe to call
+        concurrently with reads (no pipe close here — that races the
+        reader; process exit closes the write end, which is enough)."""
+        if self._proc.poll() is None:
+            self._proc.kill()
+
     def close(self):
         proc = self._proc
         if proc.poll() is None:
@@ -739,6 +747,20 @@ class FallbackVideoDecoder(VideoDecoder):
         frame = self.frame_buffer.frames[0]
         h, w = frame.image.shape[:2]
         self._decoder = _FFmpegProcess(self._argv, w, h)
+
+    def terminate(self):
+        # the spin thread may be BLOCKED in a pipe read (a TCP-stalled
+        # source produces no bytes and no EOF); killing the subprocess
+        # closes its stdout so readinto() returns and the spin observes
+        # stop_event — without this, shutdown join() would hang and the
+        # ffmpeg child would outlive the application
+        super().terminate()
+        decoder = self._decoder
+        if decoder is not None:
+            try:
+                decoder.kill()
+            except Exception:
+                pass
 
 
 class MpegTSRing:

@@ -105,7 +105,11 @@ def check_config(args):
                 if image is None:
                     raise IOError('unreadable mask file {}'.format(mask))
                 alpha = get_alpha_channel(image)
-                zones = ZoneMask(alpha, alpha.shape + (3,)).num_zones
+                # validate against the CONFIGURED frame size, exactly as
+                # Application._create_filters will (a size mismatch is
+                # startup-fatal and must fail the check)
+                zones = ZoneMask(alpha, (camera_config['height'],
+                                         camera_config['width'])).num_zones
                 print('camera {}: mask ok ({} zone(s))'.format(name, zones))
             except Exception as exc:
                 problems.append('camera {}: mask: {}'.format(name, exc))
@@ -163,11 +167,17 @@ def _prometheus_metrics(data):
     with the reference's consumers (main.py:221-253)."""
     lines = []
 
+    def escape(value):
+        # label-value escaping per the exposition format: backslash,
+        # double quote, newline
+        return str(value).replace('\\', '\\\\').replace('"', '\\"') \
+            .replace('\n', '\\n')
+
     def gauge(name, help_text, samples):
         lines.append('# HELP {} {}'.format(name, help_text))
         lines.append('# TYPE {} gauge'.format(name))
         for labels, value in samples:
-            label_str = ','.join('{}="{}"'.format(k, v)
+            label_str = ','.join('{}="{}"'.format(k, escape(v))
                                  for k, v in labels.items())
             lines.append('{}{{{}}} {}'.format(name, label_str, value))
 
@@ -782,15 +792,19 @@ class Application:
         # fixed source-rate source-resolution stream, output/video.py:118):
         #   ?scale=N      serve at 1/N resolution (downscale fused into the
         #                 persistent native encoder's swscale pass)
-        #   ?res=detect   serve at the camera's detection resolution
+        #   ?res=detect   serve the rendered output downscaled to the
+        #                 model's detection resolution (NOT the raw
+        #                 detect plane — overlays/effects are included)
         #   ?fps=F        cap this viewer's delivery rate
         #   ?quality=Q    JPEG quality 1-100 (default 80)
         args = request.args if request is not None else {}
         out_hw, max_fps, quality = None, None, 80
         try:
             src_h, src_w = camera.buffer_out.arena.shape[1:3]
-            if args.get('res') == 'detect' and \
-                    camera.buffer_in.detect_arena is not None:
+            if args.get('res') == 'detect':
+                if camera.buffer_in.detect_arena is None:
+                    return Response('Camera has no detection plane',
+                                    status=400)
                 out_hw = camera.buffer_in.detect_arena.shape[1:3]
             elif 'scale' in args:
                 n = max(1, min(16, int(args['scale'])))

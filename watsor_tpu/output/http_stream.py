@@ -37,6 +37,13 @@ class _JpegCache:
                 self._epoch = epoch
             return self._data
 
+    def close(self):
+        """Release the encode callable's native resources (if any)."""
+        close = getattr(self._encode, 'close', None)
+        if close is not None:
+            with self._lock:
+                close()
+
 
 def default_jpeg_encode(image):
     try:
@@ -64,6 +71,8 @@ def _scaled_encode(out_hw, quality):
         if JpegEncoder is not None:
             enc = state.get('native')
             if enc is None or enc._src_hw != src_hw:
+                if enc is not None:
+                    enc.close()
                 try:
                     state['native'] = enc = JpegEncoder(
                         src_hw, out_hw=out_hw, quality=quality)
@@ -79,6 +88,12 @@ def _scaled_encode(out_hw, quality):
                                 [cv2.IMWRITE_JPEG_QUALITY, quality])
         return data.tobytes() if ok else b''
 
+    def close():
+        enc = state.pop('native', None)
+        if enc is not None:
+            enc.close()
+
+    encode.close = close
     return encode
 
 
@@ -86,11 +101,21 @@ class JpegCacheSet:
     """Per-camera set of epoch-keyed JPEG caches, one per (out_hw, quality)
     variant. All viewers of the same camera at the same variant share one
     cache (encode-once-serve-many); distinct variants encode independently
-    but the downscaled ones are bandwidth-bound, not DCT-bound."""
+    but the downscaled ones are bandwidth-bound, not DCT-bound.
 
-    def __init__(self):
+    Bounded: at most ``max_variants`` live caches (LRU). Each variant
+    holds a persistent native encoder (codec ctx + YUV frame + a
+    source-sized output buffer, ~10 MB at 1080p), so an unbounded map
+    would let a client sweeping ?quality/?scale values pin gigabytes —
+    evicted variants close their encoder; a still-streaming viewer of an
+    evicted variant keeps its reference alive and it is simply rebuilt
+    for the next new viewer."""
+
+    def __init__(self, max_variants=8):
+        from collections import OrderedDict
         self._lock = threading.Lock()
-        self._caches = {}
+        self._caches = OrderedDict()
+        self._max_variants = max_variants
 
     def get_cache(self, out_hw=None, quality=80):
         key = (None if out_hw is None else tuple(out_hw), int(quality))
@@ -99,6 +124,11 @@ class JpegCacheSet:
             if cache is None:
                 cache = _JpegCache(_scaled_encode(out_hw, quality))
                 self._caches[key] = cache
+                while len(self._caches) > self._max_variants:
+                    _, evicted = self._caches.popitem(last=False)
+                    evicted.close()
+            else:
+                self._caches.move_to_end(key)
             return cache
 
 
