@@ -29,6 +29,16 @@ test-slow: native
 coverage: native
 	$(PYTHON) -m pytest tests/ -q -m "not slow" -p scripts.pycov
 
+# fast tier + the chunked slow tier, hits unioned across all processes
+# (PYTEST_ADDOPTS injects the plugin into scripts/test_slow.sh's chunks)
+coverage-all: native
+	mkdir -p build && rm -f build/pycov_hits.jsonl
+	PYCOV_DATA=$(CURDIR)/build/pycov_hits.jsonl \
+	  $(PYTHON) -m pytest tests/ -q -m "not slow" -p scripts.pycov
+	PYCOV_DATA=$(CURDIR)/build/pycov_hits.jsonl \
+	  PYTEST_ADDOPTS="-p scripts.pycov" bash scripts/test_slow.sh
+	$(PYTHON) scripts/pycov.py merge build/pycov_hits.jsonl
+
 bench: native
 	$(PYTHON) bench.py
 

@@ -12,6 +12,12 @@ Usage (what `make coverage` runs):
     python -m pytest tests/ -q -p scripts.pycov
 Writes COVERAGE.json and prints a per-package table. Line coverage only
 (no branch coverage); ``pragma: no cover`` is honored on a line basis.
+
+Multi-process accumulation (the slow tier runs one pytest per file):
+set ``PYCOV_DATA=/path/hits.jsonl`` — each process appends its raw
+(file, lines-hit) sets there instead of reporting, and
+``python scripts/pycov.py merge /path/hits.jsonl`` unions them into the
+final report (what `make coverage-all` runs).
 """
 
 import json
@@ -132,6 +138,26 @@ def report(out_path=os.path.join(ROOT, 'COVERAGE.json')):
     print('\nwrote {}'.format(out_path))
 
 
+def dump(data_path):
+    """Append this process's raw hit sets (one JSON object) for a later
+    merge — used by the chunked slow tier where each file runs in its
+    own pytest process."""
+    with open(data_path, 'a') as f:
+        f.write(json.dumps({path: sorted(lines)
+                            for path, lines in _hit.items()}) + '\n')
+
+
+def merge(data_path, out_path=os.path.join(ROOT, 'COVERAGE.json')):
+    """Union all dumped hit sets into ``_hit`` and produce the report."""
+    with open(data_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            for path, lines in json.loads(line).items():
+                _hit[path].update(lines)
+    report(out_path)
+
+
 # ---- pytest plugin hooks (-p scripts.pycov) ----
 # monitoring starts at plugin IMPORT (before conftest/test-module imports),
 # so module-level lines of everything imported afterwards are counted
@@ -147,4 +173,17 @@ def pytest_unconfigure(config):
     if _started:
         stop()
         _started = False
-        report()
+        data_path = os.environ.get('PYCOV_DATA')
+        if data_path:
+            dump(data_path)
+        else:
+            report()
+
+
+if __name__ == '__main__':
+    if len(sys.argv) >= 3 and sys.argv[1] == 'merge':
+        merge(sys.argv[2], *sys.argv[3:4])
+    else:
+        print('usage: python scripts/pycov.py merge <hits.jsonl> '
+              '[out.json]', file=sys.stderr)
+        sys.exit(2)
