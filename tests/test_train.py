@@ -58,6 +58,45 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 6
 
 
+def test_calibrate_batch_stats_restores_eval_mode():
+    """Precise-BN regression: after a short training run the 0.997-momentum
+    running averages lag the trained activation statistics so badly that
+    eval-mode logits collapse toward an image-independent constant;
+    calibrate_batch_stats must bring eval within a whisker of train mode."""
+    from watsor_tpu.models.ssd import SSD
+    from watsor_tpu.models.train import calibrate_batch_stats
+
+    tx = make_optimizer(learning_rate=5e-3)
+    state = init_train_state(TINY, jax.random.PRNGKey(0), tx)
+    step = jax.jit(make_train_step(TINY, tx))
+    batch = _shape_batch()
+    for _ in range(30):
+        state, _ = step(state, batch)
+
+    model = SSD(TINY)
+    from watsor_tpu.ops.preprocess import resize_bilinear_mxu
+    x = resize_bilinear_mxu(batch['images'], TINY.input_size,
+                            TINY.input_size, dtype=jnp.float32)
+    x = x * (2.0 / 255.0) - 1.0
+    (_, logits_train), _ = model.apply(state.params, x, train=True,
+                                       mutable=['batch_stats'])
+    _, logits_stale = model.apply(state.params, x, train=False)
+
+    calibrated = calibrate_batch_stats(TINY, state.params,
+                                       [batch['images']] * 2)
+    _, logits_calib = model.apply(calibrated, x, train=False)
+
+    err_stale = float(jnp.max(jnp.abs(logits_stale - logits_train)))
+    err_calib = float(jnp.max(jnp.abs(logits_calib - logits_train)))
+    # calibration must land at least 10x closer to the train-mode output
+    # than the stale EMA stats (measured: ~200 stale vs ~0.03 calibrated
+    # on the full shape model)
+    assert err_calib < err_stale / 10.0, (err_stale, err_calib)
+    # and params without batch_stats pass through untouched
+    bare = {'params': state.params['params']}
+    assert calibrate_batch_stats(TINY, bare, [batch['images']]) is bare
+
+
 def test_positive_anchors_matched():
     tx = make_optimizer()
     state = init_train_state(TINY, jax.random.PRNGKey(0), tx)

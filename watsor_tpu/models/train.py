@@ -159,3 +159,62 @@ def make_train_step(config, tx, model=None, anchors=None,
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
+
+
+def calibrate_batch_stats(config, variables, image_batches, model=None):
+    """Precise-BN recalibration: replace the lagging EMA running stats with
+    the arithmetic mean of exact per-batch moments over ``image_batches``.
+
+    BatchNorm running averages converge as momentum**steps — MobileNetV2
+    uses momentum 0.997, so after the shape trainer's ~300 steps the stats
+    are barely half converged, and ~50 stacked BN layers compound the
+    normalization error until ReLU6 saturates and eval-mode detections
+    collapse to an image-independent constant (measured: cross-image logit
+    spread 0.018 eval vs 10.6 train after an overfit run). One
+    forward-only averaging pass after training fixes serving without
+    touching the model.
+
+    The per-batch moment is recovered exactly without knowing each layer's
+    momentum: flax mutates ``new = m*old + (1-m)*moment``, so applying once
+    with old=0 and once with old=1 yields ``m = new1 - new0`` leafwise and
+    ``moment = new0 / (1-m)``.
+
+    ``image_batches``: iterable of [B, H, W, 3] uint8 arrays (same ingest
+    contract as the train step: device resize + (2/255)x-1 normalization).
+    Returns a new variables dict; a stats-free model passes through.
+    """
+    if model is None:
+        model = SSD(config)
+    stats = variables.get('batch_stats', {})
+    if not jax.tree_util.tree_leaves(stats):
+        return variables
+
+    @jax.jit
+    def mutated_stats(params, old_stats, images):
+        x = resize_bilinear_mxu(images, config.input_size, config.input_size,
+                                dtype=jnp.float32)
+        x = (x * (2.0 / 255.0) - 1.0).astype(config.dtype)
+        _, mutated = model.apply({'params': params, 'batch_stats': old_stats},
+                                 x, train=True, mutable=['batch_stats'])
+        return mutated['batch_stats']
+
+    tree_map = jax.tree_util.tree_map
+    zeros = tree_map(jnp.zeros_like, stats)
+    ones = tree_map(jnp.ones_like, stats)
+    params = variables['params']
+    momentum = None
+    total, count = None, 0
+    for images in image_batches:
+        images = jnp.asarray(images)
+        new0 = mutated_stats(params, zeros, images)
+        if momentum is None:
+            new1 = mutated_stats(params, ones, images)
+            momentum = tree_map(lambda a, b: b - a, new0, new1)
+        moment = tree_map(lambda n0, m: n0 / jnp.maximum(1.0 - m, 1e-6),
+                          new0, momentum)
+        total = moment if total is None else tree_map(jnp.add, total, moment)
+        count += 1
+    if count == 0:
+        return variables
+    return dict(variables,
+                batch_stats=tree_map(lambda t: t / count, total))

@@ -76,7 +76,8 @@ def train_shape_model(steps=300, batch=16, input_size=96, seed=0,
     import jax
     import jax.numpy as jnp
 
-    from watsor_tpu.models.train import (init_train_state, make_optimizer,
+    from watsor_tpu.models.train import (calibrate_batch_stats,
+                                         init_train_state, make_optimizer,
                                          make_train_step)
 
     config = make_shape_config(input_size)
@@ -95,7 +96,14 @@ def train_shape_model(steps=300, batch=16, input_size=96, seed=0,
             _LOGGER.info('step %d: loss %.4f (cls %.4f box %.4f)',
                          i + 1, loss, float(metrics['cls_loss']),
                          float(metrics['box_loss']))
-    return state.params, config, float(metrics['loss'])
+    # short runs leave the 0.997-momentum BN running averages far from the
+    # trained activation statistics — recalibrate them (precise BN) so the
+    # saved model serves in eval mode as well as it trained
+    calib = (generate_batch(batch, (input_size, input_size),
+                            seed=seed + steps + 1 + i)['images']
+             for i in range(8))
+    params = calibrate_batch_stats(config, state.params, calib)
+    return params, config, float(metrics['loss'])
 
 
 def prepare_shape_model(out_dir, steps=300, **kw):
