@@ -1,18 +1,16 @@
-"""Optional end-to-end ML integration: train the tiny shape SSD on the
-synthetic dataset, persist it through the zoo, and detect a shape with the
-REAL JAX detector (no analytic fixture). The reference gates its analog on
-a pre-trained model existing (/root/reference test strategy, SURVEY.md §4);
-here it is gated on WATSOR_SLOW_TESTS=1 because training takes ~3 min on
-this host's single CPU core."""
+"""End-to-end ML integration: train the tiny shape SSD on the synthetic
+dataset, persist it through the zoo, and detect a shape with the REAL JAX
+detector (no analytic fixture). The reference gates its analog on a
+pre-trained model existing (/root/reference test strategy, SURVEY.md §4);
+here it runs on the slow tier (training takes ~5 min on this host's single
+CPU core)."""
 
 import os
 
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get('WATSOR_SLOW_TESTS') != '1',
-    reason='set WATSOR_SLOW_TESTS=1 to run the training integration test')
+pytestmark = pytest.mark.slow
 
 
 def test_train_save_load_detect(tmp_path):
