@@ -24,6 +24,26 @@ TINY = EfficientDetConfig(num_classes=3, variant='lite0', input_size=128,
                           dtype=jnp.float32)
 
 
+def test_family_aware_trainer_defaults():
+    """An EfficientDet config (marked by mean_rgb) must default to the
+    EfficientDet model and ITS serving normalization (x-127)/128 — the
+    trainer used to hardcode the SSD (2/255)x-1 formula, a small but
+    systematic train/serve skew."""
+    from watsor_tpu.models.ssd import SSD, SSDConfig
+    from watsor_tpu.models.train import _model_for, _normalize_for
+
+    assert isinstance(_model_for(TINY), EfficientDet)
+    ssd_cfg = SSDConfig(num_classes=3, dtype=jnp.float32)
+    assert isinstance(_model_for(ssd_cfg), SSD)
+
+    x = jnp.asarray([[0.0, 127.0, 255.0]], jnp.float32)
+    np.testing.assert_allclose(np.asarray(_normalize_for(TINY)(x)),
+                               (np.asarray(x) - 127.0) / 128.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(_normalize_for(ssd_cfg)(x)),
+                               np.asarray(x) * (2.0 / 255.0) - 1.0,
+                               rtol=1e-6)
+
+
 def test_effdet_train_step_decreases_loss():
     model = EfficientDet(TINY)
     tx = make_optimizer(learning_rate=5e-3)

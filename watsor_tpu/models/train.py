@@ -27,6 +27,20 @@ from watsor_tpu.ops.preprocess import resize_bilinear_mxu
 MATCH_IOU = 0.5
 
 
+def _normalize_for(config):
+    """The SAME input normalization the family's serving path applies —
+    a config with ``mean_rgb``/``stddev_rgb`` (EfficientDet-Lite:
+    (x-127)/128, models/efficientdet.py:507) normalizes with those;
+    otherwise the SSD (2/255)x-1 (models/ssd.py build_detector). Training
+    or calibrating with a different formula than serving is a small but
+    systematic skew."""
+    mean = getattr(config, 'mean_rgb', None)
+    std = getattr(config, 'stddev_rgb', None)
+    if mean is not None and std is not None:
+        return lambda x: ((x - mean) / std).astype(config.dtype)
+    return lambda x: (x * (2.0 / 255.0) - 1.0).astype(config.dtype)
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -37,9 +51,20 @@ def make_optimizer(learning_rate=1e-3, weight_decay=1e-5):
     return optax.adamw(learning_rate, weight_decay=weight_decay)
 
 
+def _model_for(config):
+    """Default model for a config: an EfficientDet config (marked by its
+    Lite ``mean_rgb`` normalization field) builds EfficientDet, anything
+    else the SSD — so trainer entry points never silently wrap an
+    EfficientDet config in an SSD."""
+    if getattr(config, 'mean_rgb', None) is not None:
+        from watsor_tpu.models.efficientdet import EfficientDet
+        return EfficientDet(config)
+    return SSD(config)
+
+
 def init_train_state(config, rng, tx, model=None) -> TrainState:
     if model is None:
-        model = SSD(config)
+        model = _model_for(config)
     dummy = jnp.zeros((1, config.input_size, config.input_size, 3),
                       config.dtype)
     variables = model.init(rng, dummy, train=True)
@@ -89,10 +114,10 @@ def make_train_step(config, tx, model=None, anchors=None,
     """Returns a jittable ``step(state, batch) -> (state, metrics)``.
 
     Works for every detector family sharing the (box_encodings, logits)
-    head contract: defaults build the SSD from ``config``; pass
-    ``model``/``anchors``/``box_coder_scales`` explicitly for
-    EfficientDet (models/efficientdet.py: EfficientDet(cfg),
-    effdet_anchors(cfg), cfg.box_coder_scales).
+    head contract. Defaults are family-aware: an EfficientDet config
+    (marked by ``mean_rgb``) builds EfficientDet with ``effdet_anchors``
+    and its serving normalization; anything else builds the SSD. Pass
+    ``model``/``anchors``/``box_coder_scales`` to override.
 
     batch: dict with
       images    [B, H, W, 3] uint8 (resized on device to the model input)
@@ -101,9 +126,13 @@ def make_train_step(config, tx, model=None, anchors=None,
       gt_valid  [B, G] bool
     """
     if model is None:
-        model = SSD(config)
+        model = _model_for(config)
     if anchors is None:
-        anchors = anchors_for(config)
+        if getattr(config, 'mean_rgb', None) is not None:
+            from watsor_tpu.models.efficientdet import effdet_anchors
+            anchors = effdet_anchors(config)
+        else:
+            anchors = anchors_for(config)
     anchors = jnp.asarray(anchors)
     if box_coder_scales is None:
         box_coder_scales = getattr(config, 'box_coder_scales', None) or \
@@ -114,10 +143,12 @@ def make_train_step(config, tx, model=None, anchors=None,
     explicit_bg = getattr(config, 'explicit_background', True)
     num_cls = config.num_classes + (1 if explicit_bg else 0)
 
+    normalize = _normalize_for(config)
+
     def loss_fn(params, batch_stats, batch):
         x = resize_bilinear_mxu(batch['images'], config.input_size,
                                 config.input_size, dtype=jnp.float32)
-        x = (x * (2.0 / 255.0) - 1.0).astype(config.dtype)
+        x = normalize(x)
         (box_enc, logits), mutated = model.apply(
             {'params': params, 'batch_stats': batch_stats}, x, train=True,
             mutable=['batch_stats'])
@@ -180,20 +211,23 @@ def calibrate_batch_stats(config, variables, image_batches, model=None):
     ``moment = new0 / (1-m)``.
 
     ``image_batches``: iterable of [B, H, W, 3] uint8 arrays (same ingest
-    contract as the train step: device resize + (2/255)x-1 normalization).
+    contract as the train step: device resize + the family's serving
+    normalization, see _normalize_for).
     Returns a new variables dict; a stats-free model passes through.
     """
     if model is None:
-        model = SSD(config)
+        model = _model_for(config)
     stats = variables.get('batch_stats', {})
     if not jax.tree_util.tree_leaves(stats):
         return variables
+
+    normalize = _normalize_for(config)
 
     @jax.jit
     def mutated_stats(params, old_stats, images):
         x = resize_bilinear_mxu(images, config.input_size, config.input_size,
                                 dtype=jnp.float32)
-        x = (x * (2.0 / 255.0) - 1.0).astype(config.dtype)
+        x = normalize(x)
         _, mutated = model.apply({'params': params, 'batch_stats': old_stats},
                                  x, train=True, mutable=['batch_stats'])
         return mutated['batch_stats']
