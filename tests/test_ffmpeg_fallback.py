@@ -33,15 +33,18 @@ EXOTIC_ARGV = ['ffmpeg', '-nostdin', '-ss', '1', '-i', 'camera.mp4',
                '-']
 
 
-def _write_stub(tmp_path, n_frames=40):
+def _write_stub(tmp_path, n_frames=40, pace=0.0):
     """A fake ffmpeg: records its argv to argv.json, then streams
     ``n_frames`` rawvideo rgb24 frames (white with a moving black
-    rectangle) to stdout."""
+    rectangle) to stdout. ``pace`` sleeps between frames — a real camera
+    delivers at its frame interval, and an unpaced burst lets the decoder
+    outrun the depth-2 detector queue (drop-on-Full is the designed
+    backpressure), which under CI load can drop nearly every frame."""
     argv_file = tmp_path / 'argv.json'
     stub = tmp_path / 'ffmpeg'
     stub.write_text(
         '#!{py}\n'
-        'import json, sys\n'
+        'import json, sys, time\n'
         'import numpy as np\n'
         'json.dump(sys.argv[1:], open({argv!r}, "w"))\n'
         'out = sys.stdout.buffer\n'
@@ -53,8 +56,11 @@ def _write_stub(tmp_path, n_frames=40):
         '    x = 2 + 2 * (i % 3)\n'
         '    img[18:46, x:x + 88] = 0\n'
         '    out.write(img.tobytes())\n'
+        '    if {pace!r}:\n'
+        '        out.flush()\n'
+        '        time.sleep({pace!r})\n'
         'out.flush()\n'.format(py=sys.executable, argv=str(argv_file),
-                               n=n_frames, h=H, w=W))
+                               n=n_frames, h=H, w=W, pace=pace))
     stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
     return str(stub), argv_file
 
@@ -115,7 +121,10 @@ def test_fallback_decoder_end_to_end(tmp_path, monkeypatch):
     from watsor_tpu.testing.shapes import (SHAPE_LABELS, ShapeCounter,
                                            ShapeDetectorBackend)
 
-    stub, argv_file = _write_stub(tmp_path, n_frames=60)
+    # paced like a real camera (~66 fps): an unpaced 60-frame burst races
+    # the detector thread's scheduling — observed dropping >55 frames on
+    # a loaded one-core CI host and starving the 5-count latch
+    stub, argv_file = _write_stub(tmp_path, n_frames=150, pace=0.015)
     monkeypatch.setenv('WATSOR_FFMPEG_BIN', stub)
 
     stop = threading.Event()
